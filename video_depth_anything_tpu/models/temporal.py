@@ -1,0 +1,171 @@
+"""Temporal ("motion") attention modules.
+
+Equivalent in function to the AnimateDiff-style temporal transformer the
+reference inserts into the DPT head (``video_depth_anything/motion_module/
+motion_module.py:32-207``, ``motion_module/attention.py:30-429``), designed
+for the TPU's actual workload shape: self-attention along the 32-frame axis
+*independently per spatial location*.  In the reference this is a rearrange
+``(b f) d c -> (b d) f c`` followed by xformers attention over a huge batch
+of tiny sequences (``motion_module.py:253``).  Here the frame axis is kept as
+a leading tensor axis ``(B, HW, T, C)`` and attention is dense batched GEMMs
+with fp32 softmax (``ops.attention``) — at seq = 32 the full 32×32 score
+tile lives in registers/VMEM and XLA fuses QK^T → softmax → PV.
+
+Structure per module (checkpoint-compatible):
+  GroupNorm(32) → proj_in → [N_block ×: 2 × (LN → +APE → attn → residual),
+  LN → GEGLU FF → residual] → proj_out (zero-init) → + input residual.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from video_depth_anything_tpu.config import MotionModuleConfig
+from video_depth_anything_tpu.models.dinov2 import _gelu
+from video_depth_anything_tpu.models.layers import GroupNorm
+from video_depth_anything_tpu.ops.attention import multi_head_attention
+
+
+def sinusoidal_position_table(max_len: int, dim: int) -> np.ndarray:
+    """Sinusoidal APE table, (max_len, dim) fp32.
+
+    Matches the reference buffer (``motion_module.py:189-207``): even columns
+    sin, odd columns cos, with frequency ``exp(-log(10000) * 2i / dim)``.
+    Deterministic, so it is computed rather than converted from checkpoints.
+    """
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, dim, 2, dtype=np.float64) * (-np.log(10000.0) / dim)
+    )
+    pe = np.zeros((max_len, dim), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe.astype(np.float32)
+
+
+def rope_tables(max_len: int, dim: int, theta: float = 10000.0):
+    """cos/sin tables for the reference's RoPE variant
+    (``motion_module/attention.py:403-429``), (max_len, dim/2) each."""
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64)[: dim // 2] / dim))
+    angles = np.outer(np.arange(max_len, dtype=np.float64), freqs)
+    return np.cos(angles).astype(np.float32), np.sin(angles).astype(np.float32)
+
+
+def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate pairs (x0, x1) -> (x0·cos − x1·sin, x0·sin + x1·cos) over the
+    last axis; ``x`` is (..., T, C), tables are (T, C/2)."""
+    xf = x.astype(jnp.float32)
+    x0 = xf[..., 0::2]
+    x1 = xf[..., 1::2]
+    r0 = x0 * cos - x1 * sin
+    r1 = x0 * sin + x1 * cos
+    out = jnp.stack([r0, r1], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+class TemporalSelfAttention(nn.Module):
+    """One attention block over the frame axis of ``(B, S, T, C)``."""
+
+    cfg: MotionModuleConfig
+    dim: int
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        heads = cfg.num_heads
+        head_dim = self.dim // heads
+        b, s, t, c = x.shape
+
+        if cfg.pos_embedding_type == "ape":
+            pe = sinusoidal_position_table(cfg.temporal_max_len, self.dim)[:t]
+            x = x + jnp.asarray(pe, dtype=x.dtype)
+
+        q = nn.Dense(self.dim, use_bias=False, name="to_q", dtype=x.dtype)(x)
+        k = nn.Dense(self.dim, use_bias=False, name="to_k", dtype=x.dtype)(x)
+        v = nn.Dense(self.dim, use_bias=False, name="to_v", dtype=x.dtype)(x)
+
+        if cfg.pos_embedding_type == "rope":
+            cos, sin = rope_tables(cfg.temporal_max_len, self.dim)
+            cos, sin = jnp.asarray(cos[:t]), jnp.asarray(sin[:t])
+            q = _apply_rope(q, cos, sin)
+            k = _apply_rope(k, cos, sin)
+
+        q = q.reshape(b, s, t, heads, head_dim)
+        k = k.reshape(b, s, t, heads, head_dim)
+        v = v.reshape(b, s, t, heads, head_dim)
+        out = multi_head_attention(q, k, v, impl=self.attn_impl)
+        out = out.reshape(b, s, t, c)
+        return nn.Dense(self.dim, name="to_out", dtype=x.dtype)(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU FF (ref ``motion_module/attention.py:296-338,363-384``)."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, name="proj", dtype=x.dtype)(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * _gelu(gate)
+        return nn.Dense(self.dim, name="out", dtype=x.dtype)(h)
+
+
+class TemporalTransformerBlock(nn.Module):
+    cfg: MotionModuleConfig
+    dim: int
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        for i in range(cfg.num_attention_blocks):
+            h = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, name=f"norm_{i}", dtype=x.dtype
+            )(x)
+            x = x + TemporalSelfAttention(
+                cfg, self.dim, self.attn_impl, name=f"attn_{i}"
+            )(h)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ff_norm", dtype=x.dtype)(x)
+        return x + GEGLUFeedForward(self.dim, cfg.ff_mult, name="ff")(h)
+
+
+class TemporalModule(nn.Module):
+    """Full motion module over ``(B, T, H, W, C)`` feature maps."""
+
+    cfg: MotionModuleConfig
+    channels: int
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        heads = cfg.num_heads
+        inner = heads * (self.channels // heads)
+        b, t, h, w, c = x.shape
+
+        residual = x
+        y = GroupNorm(cfg.norm_num_groups, cfg.group_norm_eps, name="norm")(x)
+        y = nn.Dense(inner, name="proj_in", dtype=x.dtype)(y)
+        # (B, T, H, W, C) -> (B, H*W, T, C): frame axis becomes the sequence.
+        y = y.reshape(b, t, h * w, inner).transpose(0, 2, 1, 3)
+        for i in range(cfg.num_transformer_blocks):
+            y = TemporalTransformerBlock(
+                cfg, inner, self.attn_impl, name=f"block_{i}"
+            )(y)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, h, w, inner)
+        # proj_out is zero-initialised (ref motion_module.py:25-29,61-62), so
+        # a freshly initialised module is the identity.
+        y = nn.Dense(
+            self.channels,
+            name="proj_out",
+            dtype=x.dtype,
+            kernel_init=nn.initializers.zeros,
+        )(y)
+        return y + residual
