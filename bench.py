@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: model frames/s per chip for the vits 32-frame window at
+518×518 in bf16 (the reference README's benchmark shape, ``README.md:46-61``).
+``vs_baseline`` compares against the reference A100 FP16 Small number
+(7.5 ms/frame ⇒ 133.3 frames/s, BASELINE.md).
+
+Execution is forced through a scalar tap of the full depth output, so the
+measurement captures device compute without the (environment-specific)
+tunnel cost of shipping the 32×518×518 map to the host; end-to-end numbers
+live in the run log (`run.py --save_stats`).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS_A100_FP16_SMALL = 1000.0 / 7.5 * 1.0  # per-frame ms -> frames/s
+
+
+def bench_window(encoder: str = "vits", size: int = 518, frames: int = 32,
+                 iters: int = 10, warmup: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from video_depth_anything_tpu.models.vda import VDAModel
+
+    model = VDAModel(encoder, dtype=jnp.bfloat16)
+    model.init_params(jax.random.PRNGKey(0))
+
+    x = jax.device_put(
+        jnp.asarray(np.random.randn(1, frames, size, size, 3), dtype=jnp.bfloat16)
+    )
+
+    def step():
+        d = model.infer_window(x)
+        # Scalar tap forces full execution; avoids bulk D2H in the timing.
+        return float(jnp.sum(d[0, 0, :2, :2]))
+
+    t0 = time.time()
+    step()
+    compile_s = time.time() - t0
+    for _ in range(warmup):
+        step()
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        step()
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    return {
+        "encoder": encoder,
+        "size": size,
+        "frames": frames,
+        "compile_s": round(compile_s, 2),
+        "median_window_s": round(med, 4),
+        "frames_per_s": round(frames / med, 2),
+        "ms_per_frame": round(1000.0 * med / frames, 3),
+    }
+
+
+def main() -> int:
+    r = bench_window("vits")
+    fps = r["frames_per_s"]
+    print(
+        json.dumps(
+            {
+                "metric": "frames/sec/chip vits 1x32x518x518 bf16",
+                "value": fps,
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS_A100_FP16_SMALL, 3),
+                "detail": r,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

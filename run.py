@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""CLI video→depth inference (capability surface of reference ``run.py:27-166``).
+
+Examples:
+  python run.py --input_video /root/reference/assets/example_videos/davis_rollercoaster.mp4 \
+      --output_dir ./outputs --encoder vits --random_init
+  python run.py --input_video v.mp4 --checkpoint ckpt/video_depth_anything_vits.pth \
+      --encoder vits --save_npz --save_stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Video Depth Anything (TPU-native)")
+    p.add_argument("--input_video", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="./outputs")
+    p.add_argument("--encoder", type=str, default="vits", choices=["vits", "vitb", "vitl"])
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="torch .pth (auto-converted) or native Orbax dir; default ./checkpoints/video_depth_anything_<encoder>.pth")
+    p.add_argument("--random_init", action="store_true",
+                   help="seeded random weights (no checkpoint available)")
+    p.add_argument("--input_size", type=int, default=518)
+    p.add_argument("--max_res", type=int, default=1280)
+    p.add_argument("--max_len", type=int, default=-1)
+    p.add_argument("--target_fps", type=int, default=-1)
+    p.add_argument("--fp32", action="store_true", help="fp32 end-to-end (default bf16 + fp32 islands)")
+    p.add_argument("--skip_tmp_block", action="store_true", help="skip the third motion module")
+    p.add_argument("--original", action="store_true",
+                   help="reference-default sliding-window mode (no streaming flags)")
+    # streaming single-frame mode (reference --process_single_image)
+    p.add_argument("--process_single_image", action="store_true")
+    p.add_argument("--inference_length", type=int, default=32)
+    p.add_argument("--keyframe_list", type=int, nargs="+", default=[0, 12])
+    p.add_argument("--align_each_new_frame", action="store_true")
+    # outputs
+    p.add_argument("--grayscale", action="store_true")
+    p.add_argument("--save_npz", action="store_true")
+    p.add_argument("--save_exr", action="store_true", help="save depth frames as EXR (requires OpenEXR-capable cv2)")
+    p.add_argument("--save_orig", action="store_true")
+    p.add_argument("--save_vis", action="store_true")
+    p.add_argument("--save_stats", action="store_true")
+    # parallelism
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard frame windows over all local devices")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
+    from video_depth_anything_tpu.io.video import read_video_frames, save_video
+    from video_depth_anything_tpu.models.vda import VDAModel
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+
+    model = VDAModel(args.encoder, dtype=dtype)
+    if args.random_init:
+        model.init_params(jax.random.PRNGKey(0))
+    else:
+        ckpt = args.checkpoint or f"./checkpoints/video_depth_anything_{args.encoder}.pth"
+        from video_depth_anything_tpu.io import checkpoint as ckpt_io
+
+        if ckpt.endswith(".pth"):
+            model.params = ckpt_io.load_torch_checkpoint(ckpt, model.cfg)
+        else:
+            model.params = ckpt_io.load_native(ckpt)
+
+    frames, fps = read_video_frames(
+        args.input_video, args.max_len, args.target_fps, args.max_res
+    )
+    print(f"decoded {len(frames)} frames @ {fps:.2f} fps, {frames.shape[2]}x{frames.shape[1]}")
+
+    t0 = time.time()
+    if args.process_single_image:
+        from video_depth_anything_tpu.inference.streaming import StreamingDepthPipeline
+
+        pipe = StreamingDepthPipeline(
+            model,
+            input_size=args.input_size,
+            inference_length=args.inference_length,
+            keyframe_list=tuple(args.keyframe_list),
+            align_each_new_frame=args.align_each_new_frame,
+        )
+        depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
+    else:
+        pipe = VideoDepthPipeline(model, input_size=args.input_size)
+        if args.data_parallel:
+            from video_depth_anything_tpu.parallel.data_parallel import (
+                DataParallelVideoDepthPipeline,
+            )
+
+            pipe = DataParallelVideoDepthPipeline(model, input_size=args.input_size)
+        depths, fps = pipe.infer_video_depth(
+            frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True
+        )
+    wall = time.time() - t0
+
+    base = os.path.splitext(os.path.basename(args.input_video))[0]
+    out_video = os.path.join(args.output_dir, f"{base}_depth.mp4")
+    save_video(depths, out_video, fps=fps, is_depths=True, grayscale=args.grayscale)
+    print(f"wrote {out_video}")
+
+    if args.save_orig:
+        save_video(frames, os.path.join(args.output_dir, f"{base}_orig.mp4"), fps=fps)
+    if args.save_npz:
+        np.savez_compressed(os.path.join(args.output_dir, f"{base}_depth.npz"), depth=depths)
+    if args.save_exr:
+        import cv2
+
+        exr_dir = os.path.join(args.output_dir, f"{base}_exr")
+        os.makedirs(exr_dir, exist_ok=True)
+        for i, d in enumerate(depths):
+            cv2.imwrite(os.path.join(exr_dir, f"{i:05d}.exr"), d)
+    if args.save_vis:
+        from video_depth_anything_tpu.io.video import colorize_depth
+
+        vis = colorize_depth(depths, spectral=True)
+        save_video(vis, os.path.join(args.output_dir, f"{base}_vis.mp4"), fps=fps)
+
+    if args.save_stats:
+        from video_depth_anything_tpu.utils.stats import append_run_log
+
+        append_run_log(
+            os.path.join(args.output_dir, "inference_log.txt"),
+            args=vars(args),
+            n_frames=len(frames),
+            n_depths=len(depths),
+            wall_s=wall,
+        )
+    print(f"{len(depths)} frames in {wall:.2f}s = {len(depths)/wall:.2f} FPS end-to-end")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

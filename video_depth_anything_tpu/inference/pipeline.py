@@ -1,0 +1,161 @@
+"""Sliding-window long-video inference.
+
+Re-derivation of the reference algorithm (``video_depth_anything/
+video_depth.py:329-417``) in a parallel-friendly form:
+
+* **Window inputs are pure functions of the raw frames.**  The reference
+  splices the previous window's KEYFRAMES *inputs* into the next window's
+  first OVERLAP slots (``video_depth.py:363-364``).  Since the splice copies
+  inputs (not model outputs), the global frame index of every window slot
+  can be resolved up front (``window_frame_indices``) — so all windows are
+  independent model calls, shardable over a data-parallel mesh axis; the
+  reference's serial loop is an artifact of its in-place splice.
+* **Stitching is a tiny sequential host pass** over per-window (scale,
+  shift) least-squares fits + the 8-frame cross-fade, bit-matching the
+  reference math (``video_depth.py:379-415``) including the
+  clip-negative-after-affine ordering and the ref frame 0 pinned to the
+  very first window forever (``video_depth.py:409-413``).
+
+Per window the device does: 32-frame forward → bilinear (align_corners)
+resize to the original video resolution → one D2H of fp32 depth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_depth_anything_tpu.config import INFER_LEN, INTERP_LEN, KEYFRAMES, OVERLAP
+from video_depth_anything_tpu.ops.resize import bilinear_resize
+from video_depth_anything_tpu.ops.scale_shift import (
+    compute_scale_and_shift,
+    interpolation_weights,
+)
+from video_depth_anything_tpu.utils.transform import preprocess_frames
+
+
+def num_windows(n_frames: int) -> int:
+    step = INFER_LEN - OVERLAP
+    return max(1, -(-n_frames // step))
+
+
+def padded_length(n_frames: int) -> int:
+    """Frames needed after tail-padding with last-frame copies
+    (ref ``video_depth.py:351-354``)."""
+    step = INFER_LEN - OVERLAP
+    append = (step - (n_frames % step)) % step + (INFER_LEN - step)
+    return n_frames + append
+
+
+def window_frame_indices(n_frames: int) -> np.ndarray:
+    """(n_windows, INFER_LEN) global frame indices (into the padded frame
+    array) that each window's input slots hold after keyframe splicing."""
+    step = INFER_LEN - OVERLAP
+    n_win = num_windows(n_frames)
+    out = np.empty((n_win, INFER_LEN), dtype=np.int64)
+    out[0] = np.arange(INFER_LEN)
+    kf = np.asarray(KEYFRAMES)
+    for w in range(1, n_win):
+        out[w, :OVERLAP] = out[w - 1][kf]
+        out[w, OVERLAP:] = w * step + np.arange(OVERLAP, INFER_LEN)
+    return out
+
+
+def stitch_windows(window_depths: List[np.ndarray], org_len: int) -> np.ndarray:
+    """Scale/shift-align consecutive windows and cross-fade overlaps
+    (exact reference math, ``video_depth.py:379-415``)."""
+    align_len = OVERLAP - INTERP_LEN
+    kf_ids = list(KEYFRAMES[:align_len])
+    post_w = interpolation_weights(INTERP_LEN)
+
+    aligned: List[np.ndarray] = []
+    ref_align: List[np.ndarray] = []
+    for w, d in enumerate(window_depths):
+        if w == 0:
+            aligned.extend(d[i] for i in range(INFER_LEN))
+            ref_align = [d[k] for k in kf_ids]
+            continue
+        curr = np.concatenate([d[i] for i in range(align_len)])
+        ref = np.concatenate(ref_align)
+        s, t = compute_scale_and_shift(curr, ref)
+
+        pre = aligned[-INTERP_LEN:]
+        post = [
+            np.maximum(d[i] * s + t, 0.0)
+            for i in range(align_len, OVERLAP)
+        ]
+        aligned[-INTERP_LEN:] = [
+            pre[i] * (1.0 - post_w[i]) + post[i] * post_w[i]
+            for i in range(INTERP_LEN)
+        ]
+        for i in range(OVERLAP, INFER_LEN):
+            aligned.append(np.maximum(d[i] * s + t, 0.0))
+        # ref frame 0 stays the first window's keyframe forever
+        # (video_depth.py:409-413); the second ref follows the new window.
+        ref_align = [ref_align[0]] + [
+            np.maximum(d[k] * s + t, 0.0) for k in kf_ids[1:]
+        ]
+    return np.stack(aligned[:org_len], axis=0)
+
+
+class VideoDepthPipeline:
+    """End-to-end long-video inference around a ``VDAModel``."""
+
+    def __init__(self, model, input_size: int = 518):
+        self.model = model
+        self.input_size = input_size
+
+    @functools.cached_property
+    def _window_fn(self):
+        module = self.model.module
+
+        @functools.partial(
+            jax.jit, static_argnames=("out_h", "out_w", "skip_tmp_block")
+        )
+        def fwd(params, x, out_h, out_w, skip_tmp_block=False):
+            depth = module.apply(
+                {"params": params}, x, skip_tmp_block=skip_tmp_block
+            )  # (1, T, h, w)
+            depth = depth[..., None].astype(jnp.float32)
+            depth = bilinear_resize(depth, out_h, out_w)[..., 0]
+            return depth[0]  # (T, out_h, out_w) fp32
+
+        return fwd
+
+    def infer_video_depth(
+        self,
+        frames: np.ndarray,
+        target_fps: float = -1,
+        skip_tmp_block: bool = False,
+        progress: bool = False,
+    ) -> Tuple[np.ndarray, float]:
+        """uint8 RGB ``(N, H, W, 3)`` → (depth ``(N, H, W)`` fp32, fps)."""
+        org_len, fh, fw = frames.shape[:3]
+        pad_len = padded_length(org_len)
+        idx = window_frame_indices(org_len)
+
+        pre = preprocess_frames(frames, self.input_size)
+        if pad_len > org_len:
+            pre = np.concatenate(
+                [pre, np.repeat(pre[-1:], pad_len - org_len, axis=0)], axis=0
+            )
+
+        it = range(idx.shape[0])
+        if progress:
+            from tqdm import tqdm
+
+            it = tqdm(it, desc="windows")
+
+        window_depths: List[np.ndarray] = []
+        for w in it:
+            x = jnp.asarray(pre[idx[w]][None], dtype=self.model.dtype)
+            d = self._window_fn(
+                self.model.params, x, fh, fw, skip_tmp_block=skip_tmp_block
+            )
+            window_depths.append(np.asarray(d))
+
+        return stitch_windows(window_depths, org_len), target_fps

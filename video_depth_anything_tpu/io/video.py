@@ -1,0 +1,109 @@
+"""Host-side video decode/encode.
+
+Mirrors the reference I/O surface (``utils/dc_utils.py:19-89``): frame
+reading with max-resolution downscale and fps-ratio striding, and depth
+video writing with inferno/Spectral colormap over a global min-max
+normalization.  decord and imageio-ffmpeg are not available in this image;
+decode uses OpenCV (the reference's own fallback, ``dc_utils.py:39-67``)
+with decord's sampled-frame-limit semantics, and encode uses cv2
+``VideoWriter`` (mp4v).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+
+def ensure_even(value: int) -> int:
+    return value if value % 2 == 0 else value + 1
+
+
+def read_video_frames(
+    video_path: str,
+    process_length: int = -1,
+    target_fps: float = -1,
+    max_res: int = -1,
+) -> Tuple[np.ndarray, float]:
+    """Decode RGB frames ``(N, H, W, 3) uint8``; returns (frames, fps).
+
+    ``process_length`` limits the number of *sampled* frames (decord-path
+    semantics, ``dc_utils.py:30-33``); ``target_fps`` selects every
+    ``round(src_fps/target_fps)``-th frame; ``max_res`` downscales so the
+    longer side is at most that many (even) pixels.
+    """
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {video_path}")
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+
+    resize_to = None
+    if max_res > 0 and max(height, width) > max_res:
+        scale = max_res / max(height, width)
+        resize_to = (ensure_even(round(width * scale)), ensure_even(round(height * scale)))
+
+    fps = src_fps if target_fps <= 0 else target_fps
+    stride = max(round(src_fps / fps), 1)
+
+    frames = []
+    idx = 0
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        if idx % stride == 0:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if resize_to is not None:
+                frame = cv2.resize(frame, resize_to)
+            frames.append(frame)
+            if 0 < process_length <= len(frames):
+                break
+        idx += 1
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {video_path}")
+    return np.stack(frames, axis=0), fps
+
+
+def colorize_depth(
+    depths: np.ndarray, grayscale: bool = False, spectral: bool = False
+) -> np.ndarray:
+    """Depth stack → uint8 RGB frames with global min-max normalization
+    (ref ``dc_utils.py:74-84``)."""
+    import matplotlib
+
+    d_min, d_max = float(depths.min()), float(depths.max())
+    denom = (d_max - d_min) or 1.0
+    norm = ((depths - d_min) / denom * 255.0).astype(np.uint8)
+    if grayscale:
+        return np.repeat(norm[..., None], 3, axis=-1)
+    cmap_name = "Spectral" if spectral else "inferno"
+    cmap = matplotlib.colormaps[cmap_name]
+    lut = (np.asarray(cmap(np.arange(256) / 255.0))[:, :3] * 255).astype(np.uint8)
+    return lut[norm]
+
+
+def save_video(
+    frames: np.ndarray,
+    output_path: str,
+    fps: float = 10,
+    is_depths: bool = False,
+    grayscale: bool = False,
+    spectral: bool = False,
+) -> None:
+    """Write RGB uint8 or depth frames to an mp4 (cv2 mp4v)."""
+    if is_depths:
+        frames = colorize_depth(frames, grayscale=grayscale, spectral=spectral)
+    h, w = frames.shape[1:3]
+    writer = cv2.VideoWriter(
+        output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    if not writer.isOpened():
+        raise RuntimeError(f"cannot open video writer for {output_path}")
+    for frame in frames:
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    writer.release()
