@@ -1,0 +1,75 @@
+"""Mesh/sharding/data-parallel correctness on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as PS
+
+from video_depth_anything_tpu.config import get_model_config
+from video_depth_anything_tpu.models.vda import VDAModel
+from video_depth_anything_tpu.parallel.mesh import (
+    create_mesh,
+    param_partition_specs,
+    shard_params,
+)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    m = VDAModel("vits", dtype=jnp.float32)
+    m.init_params(jax.random.PRNGKey(0))
+    return m
+
+
+def test_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
+    mesh = create_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        create_mesh(data=3, model=3)
+
+
+def test_partition_rules(small_model):
+    specs = param_partition_specs(small_model.params)
+    qkv = specs["pretrained"]["block_0"]["attn"]["qkv"]["kernel"]
+    assert qkv == PS(None, "model")
+    proj = specs["pretrained"]["block_0"]["attn"]["proj"]["kernel"]
+    assert proj == PS("model", None)
+    # head convs replicated
+    assert specs["head"]["output_conv1"]["kernel"] == PS()
+
+
+def test_tp_forward_matches_single_device(small_model):
+    """Tensor-sharded forward over model=2 must equal the unsharded one."""
+    mesh = create_mesh(data=4, model=2)
+    x = np.random.RandomState(0).randn(1, 2, 56, 56, 3).astype(np.float32)
+
+    ref = np.asarray(small_model.infer_window(x))
+
+    sharded = shard_params(small_model.params, mesh)
+    with mesh:
+        got = np.asarray(
+            jax.jit(small_model.module.apply)({"params": sharded}, jnp.asarray(x))
+        )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_data_parallel_pipeline_matches_serial(small_model):
+    from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
+    from video_depth_anything_tpu.parallel.data_parallel import (
+        DataParallelVideoDepthPipeline,
+    )
+
+    rng = np.random.RandomState(1)
+    video = (rng.rand(70, 64, 80, 3) * 255).astype(np.uint8)
+
+    serial = VideoDepthPipeline(small_model, input_size=56)
+    want, _ = serial.infer_video_depth(video)
+
+    dp = DataParallelVideoDepthPipeline(small_model, input_size=56)
+    got, _ = dp.infer_video_depth(video)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,75 @@
+"""Training subsystem: losses, frozen-encoder masking, loss descent."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_depth_anything_tpu.models.vda import VDAModel
+from video_depth_anything_tpu.train.losses import (
+    masked_scale_shift,
+    ssi_loss,
+    tgm_loss,
+    video_depth_loss,
+)
+from video_depth_anything_tpu.train.trainer import Trainer, TrainState, make_optimizer
+
+
+def test_ssi_loss_affine_invariant(rng):
+    pred = rng.rand(2, 3, 16, 16).astype(np.float32)
+    mask = (rng.rand(2, 3, 16, 16) > 0.2).astype(np.float32)
+    target = 3.7 * pred + 1.2
+    # an affine transform of the prediction is a perfect SSI fit
+    assert float(ssi_loss(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask))) < 1e-4
+
+
+def test_scale_shift_matches_numpy(rng):
+    from video_depth_anything_tpu.ops.scale_shift import compute_scale_and_shift
+
+    pred = rng.rand(8, 9).astype(np.float32)
+    target = (2.0 * pred + 0.5 + rng.randn(8, 9) * 0.01).astype(np.float32)
+    mask = np.ones_like(pred)
+    s_np, t_np = compute_scale_and_shift(pred, target, mask)
+    s, t = masked_scale_shift(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask))
+    assert abs(float(s.squeeze()) - s_np) < 1e-4
+    assert abs(float(t.squeeze()) - t_np) < 1e-4
+
+
+def test_tgm_loss_zero_for_consistent_motion(rng):
+    target = rng.rand(1, 4, 8, 8).astype(np.float32)
+    mask = np.ones_like(target)
+    # pred == target (after identity alignment) -> both terms zero
+    total, metrics = video_depth_loss(
+        jnp.asarray(target), jnp.asarray(target), jnp.asarray(mask)
+    )
+    assert float(total) < 1e-5
+    assert float(metrics["tgm"]) < 1e-5
+
+
+@pytest.mark.slow
+def test_train_step_descends_and_freezes_encoder(rng):
+    model = VDAModel("vits", dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    trainer = Trainer(
+        model.module,
+        optimizer=make_optimizer(learning_rate=1e-4),
+        compute_dtype=jnp.float32,
+        remat_encoder=False,
+    )
+    state = trainer.init_state(params)
+    enc_before = jax.tree.leaves(state.params["pretrained"])[0].copy()
+
+    batch = {
+        "frames": jnp.asarray(rng.randn(1, 2, 28, 28, 3), dtype=jnp.float32),
+        "disparity": jnp.asarray(rng.rand(1, 2, 28, 28), dtype=jnp.float32),
+        "mask": jnp.ones((1, 2, 28, 28), dtype=jnp.float32),
+    }
+    losses = []
+    for _ in range(5):
+        state, metrics = trainer.step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+    # encoder frozen by the optimizer mask
+    enc_after = jax.tree.leaves(state.params["pretrained"])[0]
+    np.testing.assert_array_equal(np.asarray(enc_before), np.asarray(enc_after))

@@ -1,0 +1,105 @@
+"""Data-parallel sliding-window inference.
+
+Windows shard over the mesh ``data`` axis: the splice-resolved window inputs
+(``inference.pipeline.window_frame_indices``) make every window an
+independent model call, so a video's W windows run as one batched,
+``data``-sharded forward.  Only the stitching pass (per-window scale/shift
+scan over 2-frame overlaps) stays sequential on host — tiny.
+
+The reference processes windows serially on one GPU (``video_depth.py:358``);
+this is the TPU-native scale-out the survey's north star calls for.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as PS
+
+from video_depth_anything_tpu.inference.pipeline import (
+    VideoDepthPipeline,
+    padded_length,
+    stitch_windows,
+    window_frame_indices,
+)
+from video_depth_anything_tpu.ops.resize import bilinear_resize
+from video_depth_anything_tpu.parallel.mesh import create_mesh
+from video_depth_anything_tpu.utils.transform import preprocess_frames
+
+
+class DataParallelVideoDepthPipeline(VideoDepthPipeline):
+    """Same contract as ``VideoDepthPipeline`` with windows sharded over all
+    devices of a ``('data', 'model')`` mesh (model=1 by default)."""
+
+    def __init__(self, model, input_size: int = 518, mesh=None):
+        super().__init__(model, input_size)
+        self.mesh = mesh if mesh is not None else create_mesh()
+
+    @functools.cached_property
+    def _batched_window_fn(self):
+        module = self.model.module
+        mesh = self.mesh
+
+        @functools.partial(
+            jax.jit, static_argnames=("out_h", "out_w", "skip_tmp_block")
+        )
+        def fwd(params, xs, out_h, out_w, skip_tmp_block=False):
+            # xs: (W, T, h, w, 3) sharded over 'data' on axis 0.
+            xs = jax.lax.with_sharding_constraint(
+                xs, NamedSharding(mesh, PS("data"))
+            )
+            depth = module.apply(
+                {"params": params}, xs, skip_tmp_block=skip_tmp_block
+            )  # (W, T, h, w)
+            depth = depth[..., None].astype(jnp.float32)
+            depth = bilinear_resize(depth, out_h, out_w)[..., 0]
+            return depth  # (W, T, out_h, out_w)
+
+        return fwd
+
+    def infer_video_depth(
+        self,
+        frames: np.ndarray,
+        target_fps: float = -1,
+        skip_tmp_block: bool = False,
+        progress: bool = False,
+    ) -> Tuple[np.ndarray, float]:
+        org_len, fh, fw = frames.shape[:3]
+        pad_len = padded_length(org_len)
+        idx = window_frame_indices(org_len)
+        n_win = idx.shape[0]
+        n_data = self.mesh.shape["data"]
+
+        pre = preprocess_frames(frames, self.input_size)
+        if pad_len > org_len:
+            pre = np.concatenate(
+                [pre, np.repeat(pre[-1:], pad_len - org_len, axis=0)], axis=0
+            )
+
+        # Round the window batch up to the data-axis size (duplicate last) and
+        # process one mesh-row of windows per step to bound device memory.
+        n_pad = (-n_win) % n_data
+        idx_padded = np.concatenate([idx, np.repeat(idx[-1:], n_pad, axis=0)])
+
+        it = range(0, len(idx_padded), n_data)
+        if progress:
+            from tqdm import tqdm
+
+            it = tqdm(it, desc=f"window batches x{n_data}")
+
+        window_depths: List[np.ndarray] = []
+        for start in it:
+            xs = pre[idx_padded[start : start + n_data]]
+            xs = jax.device_put(
+                jnp.asarray(xs, dtype=self.model.dtype),
+                NamedSharding(self.mesh, PS("data")),
+            )
+            depth = self._batched_window_fn(
+                self.model.params, xs, fh, fw, skip_tmp_block=skip_tmp_block
+            )
+            window_depths.extend(np.asarray(depth))
+        return stitch_windows(window_depths[:n_win], org_len), target_fps

@@ -1,0 +1,138 @@
+"""pjit'd training step for temporal fine-tuning.
+
+Net-new (the reference has no training loop — SURVEY.md §2.5): frozen
+DINOv2 encoder, trainable DPT head + motion modules, optax AdamW, loss =
+SSI + λ·TGM on disparity (``train.losses``).  Sharding: clips over the mesh
+``data`` axis, optional Megatron TP over ``model`` via the param rules in
+``parallel.mesh``; gradients reduce over ICI via GSPMD-inserted collectives.
+
+Encoder freezing is expressed through ``optax.masked`` so the param pytree
+stays whole (checkpoint-compatible) while encoder updates are zeroed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+from video_depth_anything_tpu.models.vda import VideoDepthAnything
+from video_depth_anything_tpu.parallel.mesh import TP_RULES, param_partition_specs
+from video_depth_anything_tpu.train.losses import video_depth_loss
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    learning_rate: float = 1e-5,
+    weight_decay: float = 1e-2,
+    train_encoder: bool = False,
+    clip_norm: float = 1.0,
+) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(learning_rate, weight_decay=weight_decay),
+    )
+    if train_encoder:
+        return tx
+
+    # Frozen encoder: zero its updates entirely (optax.masked would pass the
+    # raw gradients through for masked-out leaves, silently training it).
+    def labels(params):
+        return {
+            k: jax.tree.map(
+                lambda _: "freeze" if k == "pretrained" else "train", v
+            )
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+
+
+class Trainer:
+    """Bundles module + optimizer + mesh into a jitted ``step``.
+
+    ``batch``: dict with ``frames (B,T,H,W,3)`` normalized fp32, ``disparity
+    (B,T,H,W)`` fp32 target, ``mask (B,T,H,W)``.
+    """
+
+    def __init__(
+        self,
+        module: VideoDepthAnything,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        mesh: Optional[Mesh] = None,
+        tgm_weight: float = 10.0,
+        compute_dtype=jnp.bfloat16,
+        remat_encoder: bool = True,
+    ):
+        self.module = module
+        self.tx = optimizer or make_optimizer()
+        self.mesh = mesh
+        self.tgm_weight = tgm_weight
+        self.compute_dtype = compute_dtype
+        self.remat_encoder = remat_encoder
+
+    def init_state(self, params) -> TrainState:
+        state = TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            pspecs = param_partition_specs(params, TP_RULES)
+            shard = lambda tree, spec_tree: jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                tree,
+                spec_tree,
+            )
+            params = shard(state.params, pspecs)
+            opt_state = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(self.mesh, PS())
+                )
+                if jnp.ndim(x) == 0
+                else x,
+                state.opt_state,
+            )
+            state = TrainState(params, self.tx.init(params), state.step)
+        return state
+
+    @functools.cached_property
+    def step(self):
+        module = self.module
+        tx = self.tx
+        tgm_weight = self.tgm_weight
+        dtype = self.compute_dtype
+        mesh = self.mesh
+
+        def loss_fn(params, frames, disparity, mask):
+            fwd = module.apply
+            if self.remat_encoder:
+                fwd = jax.checkpoint(fwd, static_argnums=())
+            pred = fwd({"params": params}, frames.astype(dtype))
+            return video_depth_loss(pred, disparity, mask, tgm_weight)
+
+        def train_step(state: TrainState, batch):
+            frames, disparity, mask = (
+                batch["frames"],
+                batch["disparity"],
+                batch["mask"],
+            )
+            if mesh is not None:
+                shard = NamedSharding(mesh, PS("data"))
+                frames = jax.lax.with_sharding_constraint(frames, shard)
+                disparity = jax.lax.with_sharding_constraint(disparity, shard)
+                mask = jax.lax.with_sharding_constraint(mask, shard)
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, frames, disparity, mask
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
