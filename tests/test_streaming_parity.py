@@ -1,0 +1,95 @@
+"""Streaming single-frame mode parity vs the reference.
+
+Runs the reference ``infere_single_image`` (torch CPU, fp32) and this
+framework's ``StreamingDepthPipeline`` on the same video with converted
+weights, for both alignment modes, with a reduced inference length to keep
+the torch oracle cheap.  Covers: warmup caching, keyframe gather schedule,
+streaming head forward, cache shifting, and per-frame re-alignment.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tests.reference_oracle import load_reference_vda, reference_state_numpy
+from tests.test_pipeline_parity import _synthetic_video
+from video_depth_anything_tpu.config import get_model_config
+from video_depth_anything_tpu.inference.streaming import (
+    StreamingDepthPipeline,
+    streaming_schedule,
+)
+from video_depth_anything_tpu.io.checkpoint import convert_torch_state_dict
+from video_depth_anything_tpu.models.vda import VDAModel
+
+
+def test_schedule_default_config():
+    static_kf, use_idx, align_idx = streaming_schedule(32, [0, 12])
+    assert static_kf == [32, 20]
+    assert len(use_idx) == 13  # frames 31 .. 43
+    for lst in use_idx:
+        assert len(lst) == 31
+        assert lst[0] == 0  # anchor frame pinned
+    # steady-state schedule must keep indices inside the cache
+    assert max(use_idx[-1]) < 32 + 12 - 1
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    model_t = load_reference_vda("vits", seed=0)
+    cfg = get_model_config("vits")
+    params = convert_torch_state_dict(reference_state_numpy(model_t), cfg)
+    return model_t, params
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "align,keyframes",
+    [
+        (False, (0, 4)),
+        # align mode: keyframe 0 configs crash in the reference (IndexError
+        # at dpt_temporal.py:189) — only nonzero keyframes are valid there.
+        (True, (4,)),
+    ],
+)
+def test_streaming_parity(oracle, align, keyframes):
+    model_t, params = oracle
+    video = _synthetic_video(n=20, h=70, w=70, seed=2)
+
+    with torch.no_grad():
+        want, _ = model_t.infere_single_image(
+            video,
+            target_fps=10,
+            input_size=70,
+            device="cpu",
+            fp32=True,
+            inference_length=8,
+            keyframe_list=list(keyframes),
+            align_each_new_frame=align,
+        )
+
+    model = VDAModel("vits", params=params, dtype=jnp.float32)
+    pipe = StreamingDepthPipeline(
+        model,
+        input_size=70,
+        inference_length=8,
+        keyframe_list=keyframes,
+        align_each_new_frame=align,
+    )
+    got, _ = pipe.infer(video, 10)
+
+    assert got.shape == want.shape
+    scale = np.abs(want).mean() + 1e-6
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=2e-3)
+
+
+def test_streaming_align_rejects_zero_keyframe():
+    model = VDAModel("vits", dtype=jnp.float32)
+    with pytest.raises(ValueError, match="unfilled cache slots"):
+        StreamingDepthPipeline(
+            model,
+            inference_length=8,
+            keyframe_list=(0, 4),
+            align_each_new_frame=True,
+        )

@@ -1,0 +1,286 @@
+"""Streaming single-frame inference with a keyframe feature cache.
+
+Re-implementation of the fork's experimental streaming mode
+(``video_depth_anything/video_depth.py:91-327``): per-frame encoding, a
+per-level cache of pre-motion DPT features spanning
+``inference_length + max(keyframes) − 1`` frames, a precomputed keyframe
+gather schedule, and optional per-frame scale/shift re-alignment against
+previously predicted keyframe depths.
+
+TPU-native shape discipline: the cache is a fixed-shape array per level;
+each step runs exactly two compiled programs — the warmup encoder step and
+the steady streaming step (gather indices are host-resolved into static
+arrays; the step program is identical from frame ``L+max_kf`` on, so there
+is no recompilation in steady state).
+
+Behavioral quirks preserved from the reference (documented contract):
+* without ``align_each_new_frame`` the first ``L−1`` frames produce no
+  depth (``video_depth.py:237,321``);
+* with it, frame 0 is used for alignment only and dropped from the output
+  (``video_depth.py:324-326``);
+* ``warmup=False`` is not implemented (``video_depth.py:321-322``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_depth_anything_tpu.ops.scale_shift import compute_scale_and_shift
+from video_depth_anything_tpu.utils.transform import preprocess_frames
+
+
+def streaming_schedule(
+    inference_length: int, keyframe_list: Sequence[int]
+) -> Tuple[List[int], List[List[int]], List[List[int]]]:
+    """Precompute (static_keyframes, use_feature_idx, align_idx).
+
+    Same arithmetic as the reference's in-loop setup
+    (``video_depth.py:148-191``): for each step in the transition phase
+    (frame ``L−1`` .. ``L+max_kf−1``) the list of cache slots whose features
+    form the attention window, with slot 0 pinned to the first frame and
+    keyframe slots redirected per their distance schedule.
+    """
+    L = inference_length
+    kfs = list(keyframe_list)
+    max_kf = max(kfs)
+    dist = [kf + (L - len(kfs)) for kf in kfs]
+
+    static_kf: List[int] = []
+    for i, kf in enumerate(kfs):
+        static_kf.append(L - kf if L > kf else i + 1)
+    if len(static_kf) != len(set(static_kf)):
+        raise ValueError(f"keyframe setup yields duplicate slots: {static_kf}")
+
+    use_feature_idx: List[List[int]] = []
+    align_idx: List[List[int]] = []
+    for frame_idx in range(L - 1, L + max_kf):
+        tmp = list(range(frame_idx - (L - 1), frame_idx))
+        tmp[0] = 0  # first frame is always the anchor reference
+        aib = [0]
+        for i, sk in enumerate(static_kf):
+            if sk in tmp:
+                aib.append(tmp.index(sk))
+            else:
+                aib.append(i + 1)
+                if frame_idx - dist[i] <= sk:
+                    tmp[i + 1] = sk
+                else:
+                    tmp[i + 1] = sk + (frame_idx - dist[i] - sk)
+        use_feature_idx.append(tmp)
+        align_idx.append(aib)
+    return static_kf, use_feature_idx, align_idx
+
+
+class StreamingDepthPipeline:
+    """Streaming inference around a ``VDAModel``."""
+
+    def __init__(
+        self,
+        model,
+        input_size: int = 518,
+        inference_length: int = 32,
+        keyframe_list: Tuple[int, ...] = (0, 12),
+        align_each_new_frame: bool = False,
+    ):
+        if inference_length <= len(keyframe_list) + 2:
+            raise ValueError("inference_length too small for the keyframe list")
+        self.model = model
+        self.input_size = input_size
+        self.L = inference_length
+        self.keyframes = tuple(keyframe_list)
+        self.max_kf = max(keyframe_list)
+        self.cache_len = self.L + self.max_kf - 1
+        self.align = align_each_new_frame
+        (self.static_kf, self.use_feature_idx, self.align_idx) = streaming_schedule(
+            inference_length, keyframe_list
+        )
+        if self.align and max(self.use_feature_idx[0]) > self.L - 2:
+            # With a 0 keyframe the first-prediction schedule redirects a slot
+            # to position L (beyond the L-1 cached frames).  The reference
+            # crashes on this very config (IndexError at dpt_temporal.py:189,
+            # gather of pred_depth_idx into the (L-1)-frame cache); refuse it
+            # explicitly instead of silently clamping.
+            raise ValueError(
+                "align_each_new_frame with this keyframe_list references "
+                "unfilled cache slots at the first prediction (a latent "
+                "crash in the reference as well); use keyframes > 0, e.g. "
+                "keyframe_list=(12,)"
+            )
+        # cache shift map: drop slot 1, keep anchor slot 0
+        # (ref video_depth.py:150,288-296)
+        self.move_idx = np.asarray(
+            [i for i in range(self.cache_len) if i != 1], dtype=np.int64
+        )
+
+    # -- jitted pieces ------------------------------------------------------
+
+    @functools.cached_property
+    def _encode_fn(self):
+        module = self.model.module
+
+        @jax.jit
+        def encode(params, x):
+            return module.apply(
+                {"params": params}, x, method="encode_level_features"
+            )
+
+        return encode
+
+    @functools.cached_property
+    def _step_fn(self):
+        module = self.model.module
+
+        @functools.partial(jax.jit, static_argnames=("skip_tmp_block",))
+        def step(params, x, cached, pred_idx=None, skip_tmp_block=False):
+            return module.apply(
+                {"params": params},
+                x,
+                cached,
+                pred_idx=pred_idx,
+                skip_tmp_block=skip_tmp_block,
+                method="streaming_step",
+            )
+
+        return step
+
+    @functools.cached_property
+    def _resize_fn(self):
+        from video_depth_anything_tpu.ops.resize import bilinear_resize
+
+        @functools.partial(jax.jit, static_argnames=("fh", "fw"))
+        def resize(d, fh, fw):
+            # align_corners bilinear to the original video resolution
+            # (ref video_depth.py:299)
+            return bilinear_resize(d[..., None].astype(jnp.float32), fh, fw)[..., 0]
+
+        return resize
+
+    # -- main loop ----------------------------------------------------------
+
+    def infer(
+        self,
+        frames: np.ndarray,
+        target_fps: float = -1,
+        skip_tmp_block: bool = False,
+        progress: bool = False,
+        warmup: bool = True,
+    ) -> Tuple[np.ndarray, float]:
+        if not warmup:
+            raise NotImplementedError("warmup=False is not implemented")
+        org_len, fh, fw = frames.shape[:3]
+        L, max_kf = self.L, self.max_kf
+        dtype = self.model.dtype
+        params = self.model.params
+
+        pre = preprocess_frames(frames, self.input_size)
+
+        cache: Optional[List[jnp.ndarray]] = None
+        depth_list: List[np.ndarray] = []
+        old_keyframes_started = False
+
+        it = range(org_len)
+        if progress:
+            from tqdm import tqdm
+
+            it = tqdm(it, desc="frames")
+
+        for i in it:
+            x = jnp.asarray(pre[i][None], dtype=dtype)
+            if i < L - 1:
+                feats = self._encode_fn(params, x)
+                if cache is None:
+                    cache = [
+                        jnp.zeros((self.cache_len,) + f.shape[1:], dtype=f.dtype)
+                        for f in feats
+                    ]
+                cache = [
+                    c.at[i].set(f[0]) for c, f in zip(cache, feats)
+                ]
+                continue
+
+            # select gather schedule + depth prediction slots
+            if i < L + max_kf:
+                sched = i - (L - 1)
+            else:
+                sched = -1
+            use_idx = np.asarray(self.use_feature_idx[sched], dtype=np.int64)
+
+            pred_idx: Optional[Tuple[int, ...]] = None
+            abs_pred_idx: Optional[List[int]] = None
+            if self.align:
+                if i < L + max_kf:
+                    abs_pred_idx = [
+                        int(use_idx[j]) for j in self.align_idx[sched]
+                    ]
+                    if i == L - 1:
+                        pred_idx = tuple(int(v) for v in use_idx)
+                    else:
+                        pred_idx = tuple(self.align_idx[sched])
+                else:
+                    pred_idx = tuple(self.align_idx[-1])
+                    abs_pred_idx = []
+                    for j in self.align_idx[-1]:
+                        v = int(use_idx[j])
+                        if v == 0:
+                            abs_pred_idx.append(0)
+                        else:
+                            # cache has shifted since the transition phase
+                            # (ref video_depth.py:263-269)
+                            abs_pred_idx.append(v + (i - (L + max_kf)) + 1)
+
+            gathered = tuple(c[jnp.asarray(use_idx)] for c in cache)
+            pred_idx_arr = (
+                None
+                if pred_idx is None
+                else jnp.asarray(pred_idx, dtype=jnp.int32)
+            )
+            depth, new_feats = self._step_fn(
+                params,
+                x,
+                gathered,
+                pred_idx=pred_idx_arr,
+                skip_tmp_block=skip_tmp_block,
+            )
+            # model output is at model resolution; bring to original video
+            # size with align_corners bilinear (ref video_depth.py:299)
+            if (fh, fw) != depth.shape[1:]:
+                depth = self._resize_fn(depth, fh, fw)
+            depth = np.asarray(depth, dtype=np.float32)
+
+            # cache update (ref video_depth.py:278-296)
+            if i < self.cache_len:
+                cache = [
+                    c.at[i].set(f[0]) for c, f in zip(cache, new_feats)
+                ]
+            else:
+                mv = jnp.asarray(self.move_idx)
+                cache = [
+                    c.at[:-1].set(c[mv]).at[-1].set(f[0])
+                    for c, f in zip(cache, new_feats)
+                ]
+
+            # depth bookkeeping / alignment (ref video_depth.py:301-319)
+            if self.align:
+                if not old_keyframes_started:
+                    old_keyframes_started = True
+                    depth_list.extend(depth[k] for k in range(depth.shape[0]))
+                else:
+                    cur_pred = depth[-1]
+                    n_kf = len(pred_idx)
+                    cur_kf = np.concatenate([depth[k] for k in range(n_kf)])
+                    old_kf = np.concatenate(
+                        [depth_list[j] for j in abs_pred_idx]
+                    )
+                    s, t = compute_scale_and_shift(cur_kf, old_kf)
+                    depth_list.append(cur_pred * s + t)
+            else:
+                depth_list.extend(depth[k] for k in range(depth.shape[0]))
+
+        if self.align:
+            return np.stack(depth_list[1:org_len], axis=0), target_fps
+        return np.stack(depth_list[:org_len], axis=0), target_fps

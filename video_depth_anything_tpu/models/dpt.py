@@ -1,7 +1,7 @@
 """DPT fusion head with temporal motion modules, NHWC.
 
 Functional equivalent of the reference head (``video_depth_anything/dpt.py:
-47-159``, ``dpt_temporal.py:22-99``, ``util/blocks.py:37-162``) with
+47-159``, ``dpt_temporal.py:22-260``, ``util/blocks.py:37-162``) with
 TPU-native choices:
 
 * 1×1 "project" convs are Dense layers over the channel axis (same GEMM the
@@ -16,11 +16,19 @@ TPU-native choices:
 Temporal modules sit at the same four points as the reference
 (``dpt_temporal.py:75-87``): on layer_3 and layer_4 before the scratch
 convs, and after refinenet4 / refinenet3.
+
+Three entry points (all sharing the same parameters):
+
+* ``__call__`` — batch window forward (ref ``dpt_temporal.py:53-99``)
+* ``level_features`` — per-frame pre-motion features for the streaming
+  cache (ref ``get_motion_features``, ``dpt_temporal.py:101-131``)
+* ``streaming_forward`` — cached features + new frame, depth for selected
+  indices only (ref ``foward_single_image`` [sic], ``dpt_temporal.py:133-260``)
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -55,8 +63,8 @@ class FeatureFusionBlock(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        skip: jnp.ndarray | None = None,
-        out_hw: Tuple[int, int] | None = None,
+        skip: Optional[jnp.ndarray] = None,
+        out_hw: Optional[Tuple[int, int]] = None,
     ) -> jnp.ndarray:
         if skip is not None:
             x = x + ResidualConvUnit(self.features, name="rcu1")(skip)
@@ -68,18 +76,75 @@ class FeatureFusionBlock(nn.Module):
 
 
 class DPTHeadTemporal(nn.Module):
-    """Temporal DPT head.
-
-    ``__call__(features, batch, frames, ph, pw)`` takes the 4 tapped encoder
-    outputs, each ``(B*T, ph*pw, D)``, and returns inverse depth
-    ``(B*T, 14*ph, 14*pw, 1)`` (pre final-resize/ReLU — the model wrapper
-    finishes those, ref ``video_depth.py:62-64``).
-    """
+    """Temporal DPT head over tapped encoder features."""
 
     cfg: ModelConfig
     attn_impl: str = "xla"
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        out_ch = cfg.out_channels
+        f = cfg.features
+        self.project_0 = nn.Dense(out_ch[0])
+        self.project_1 = nn.Dense(out_ch[1])
+        self.project_2 = nn.Dense(out_ch[2])
+        self.project_3 = nn.Dense(out_ch[3])
+        self.resize_0 = Deconv2dPixelShuffle(out_ch[0], 4)
+        self.resize_1 = Deconv2dPixelShuffle(out_ch[1], 2)
+        self.resize_3 = Conv2d(out_ch[3], 3, stride=2, padding=1)
+        self.layer1_rn = Conv2d(f, 3, padding=1, use_bias=False)
+        self.layer2_rn = Conv2d(f, 3, padding=1, use_bias=False)
+        self.layer3_rn = Conv2d(f, 3, padding=1, use_bias=False)
+        self.layer4_rn = Conv2d(f, 3, padding=1, use_bias=False)
+        self.refinenet1 = FeatureFusionBlock(f)
+        self.refinenet2 = FeatureFusionBlock(f)
+        self.refinenet3 = FeatureFusionBlock(f)
+        self.refinenet4 = FeatureFusionBlock(f)
+        self.output_conv1 = Conv2d(f // 2, 3, padding=1)
+        self.output_conv2_0 = Conv2d(32, 3, padding=1)
+        self.output_conv2_2 = Conv2d(1, 1)
+        self.motion_0 = TemporalModule(cfg.motion, out_ch[2], self.attn_impl)
+        self.motion_1 = TemporalModule(cfg.motion, out_ch[3], self.attn_impl)
+        self.motion_2 = TemporalModule(cfg.motion, cfg.features, self.attn_impl)
+        self.motion_3 = TemporalModule(cfg.motion, cfg.features, self.attn_impl)
+
+    # -- shared pieces ------------------------------------------------------
+
+    def _temporal(self, module, x: jnp.ndarray, batch: int) -> jnp.ndarray:
+        """(B*T, H, W, C) → motion module over the frame axis → same shape."""
+        y = x.reshape((batch, x.shape[0] // batch) + x.shape[1:])
+        y = module(y)
+        return y.reshape(x.shape)
+
+    def level_features(
+        self, features: Sequence[jnp.ndarray], ph: int, pw: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Per-frame projection + resize stack (pre-motion), N frames each
+        ``(N, ph*pw, D)`` → 4 maps at 4×/2×/1×/0.5× patch resolution
+        (ref ``dpt.py:60-90``, ``dpt_temporal.py:101-131``)."""
+        n = features[0].shape[0]
+
+        def to_map(x):
+            return x.reshape(n, ph, pw, x.shape[-1])
+
+        l1 = self.resize_0(self.project_0(to_map(features[0])))
+        l2 = self.resize_1(self.project_1(to_map(features[1])))
+        l3 = self.project_2(to_map(features[2]))
+        l4 = self.resize_3(self.project_3(to_map(features[3])))
+        return l1, l2, l3, l4
+
+    def _output_head(self, path1: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+        out = self.output_conv1(path1)
+        out = bilinear_resize(out, ph * 14, pw * 14)
+        # fp32 island (ref dpt_temporal.py:95-97).
+        out = out.astype(jnp.float32)
+        out = self.output_conv2_0(out)
+        out = nn.relu(out)
+        out = self.output_conv2_2(out)
+        return nn.relu(out)
+
+    # -- batch window forward ----------------------------------------------
+
     def __call__(
         self,
         features: Sequence[jnp.ndarray],
@@ -89,63 +154,84 @@ class DPTHeadTemporal(nn.Module):
         pw: int,
         skip_tmp_block: bool = False,
     ) -> jnp.ndarray:
-        cfg = self.cfg
-        bt = batch * frames
-        out_ch = cfg.out_channels
-        f = cfg.features
+        l1, l2, l3, l4 = self.level_features(features, ph, pw)
 
-        # Per-level projection + resize stack (ref dpt.py:60-90).
-        def tokens_to_map(x: jnp.ndarray) -> jnp.ndarray:
-            return x.reshape(bt, ph, pw, x.shape[-1])
+        l3 = self._temporal(self.motion_0, l3, batch)
+        l4 = self._temporal(self.motion_1, l4, batch)
 
-        l1 = nn.Dense(out_ch[0], name="project_0", dtype=features[0].dtype)(
-            tokens_to_map(features[0])
-        )
-        l1 = Deconv2dPixelShuffle(out_ch[0], 4, name="resize_0")(l1)
-        l2 = nn.Dense(out_ch[1], name="project_1", dtype=features[1].dtype)(
-            tokens_to_map(features[1])
-        )
-        l2 = Deconv2dPixelShuffle(out_ch[1], 2, name="resize_1")(l2)
-        l3 = nn.Dense(out_ch[2], name="project_2", dtype=features[2].dtype)(
-            tokens_to_map(features[2])
-        )
-        l4 = nn.Dense(out_ch[3], name="project_3", dtype=features[3].dtype)(
-            tokens_to_map(features[3])
-        )
-        l4 = Conv2d(out_ch[3], 3, stride=2, padding=1, name="resize_3")(l4)
+        r1 = self.layer1_rn(l1)
+        r2 = self.layer2_rn(l2)
+        r3 = self.layer3_rn(l3)
+        r4 = self.layer4_rn(l4)
 
-        def temporal(name: str, channels: int, x: jnp.ndarray) -> jnp.ndarray:
-            y = x.reshape((batch, frames) + x.shape[1:])
-            y = TemporalModule(cfg.motion, channels, self.attn_impl, name=name)(y)
-            return y.reshape((bt,) + x.shape[1:])
-
-        # Motion modules 0/1 on layer_3 / layer_4 (ref dpt_temporal.py:75-76).
-        l3 = temporal("motion_0", out_ch[2], l3)
-        l4 = temporal("motion_1", out_ch[3], l4)
-
-        r1 = Conv2d(f, 3, padding=1, use_bias=False, name="layer1_rn")(l1)
-        r2 = Conv2d(f, 3, padding=1, use_bias=False, name="layer2_rn")(l2)
-        r3 = Conv2d(f, 3, padding=1, use_bias=False, name="layer3_rn")(l3)
-        r4 = Conv2d(f, 3, padding=1, use_bias=False, name="layer4_rn")(l4)
-
-        path4 = FeatureFusionBlock(f, name="refinenet4")(r4, out_hw=r3.shape[-3:-1])
+        path4 = self.refinenet4(r4, out_hw=r3.shape[-3:-1])
         if not skip_tmp_block:
-            path4 = temporal("motion_2", f, path4)
-        path3 = FeatureFusionBlock(f, name="refinenet3")(
-            path4, r3, out_hw=r2.shape[-3:-1]
-        )
-        path3 = temporal("motion_3", f, path3)
-        path2 = FeatureFusionBlock(f, name="refinenet2")(
-            path3, r2, out_hw=r1.shape[-3:-1]
-        )
-        path1 = FeatureFusionBlock(f, name="refinenet1")(path2, r1)
+            path4 = self._temporal(self.motion_2, path4, batch)
+        path3 = self.refinenet3(path4, r3, out_hw=r2.shape[-3:-1])
+        path3 = self._temporal(self.motion_3, path3, batch)
+        path2 = self.refinenet2(path3, r2, out_hw=r1.shape[-3:-1])
+        path1 = self.refinenet1(path2, r1)
+        return self._output_head(path1, ph, pw)
 
-        out = Conv2d(f // 2, 3, padding=1, name="output_conv1")(path1)
-        out = bilinear_resize(out, ph * 14, pw * 14)
-        # fp32 island (ref dpt_temporal.py:95-97).
-        out = out.astype(jnp.float32)
-        out = Conv2d(32, 3, padding=1, name="output_conv2_0")(out)
-        out = nn.relu(out)
-        out = Conv2d(1, 1, name="output_conv2_2")(out)
-        out = nn.relu(out)
-        return out
+    # -- streaming forward --------------------------------------------------
+
+    def streaming_forward(
+        self,
+        new_features: Sequence[jnp.ndarray],
+        cached: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        ph: int,
+        pw: int,
+        pred_idx: Optional[jnp.ndarray] = None,
+        skip_tmp_block: bool = False,
+    ):
+        """One streaming step (ref ``dpt_temporal.py:133-260``).
+
+        ``new_features``: encoder taps of the current frame, each (1, N, D).
+        ``cached``: the 4 gathered pre-motion level-feature windows, each
+        ``(T-1, h_l, w_l, C_l)``.  ``pred_idx``: window positions (static)
+        whose depth is predicted in addition to the current frame; ``None``
+        predicts only the current frame.
+
+        Returns ``(depth (P, 14ph, 14pw, 1) fp32, new level features ×4)``.
+        """
+        n1, n2, n3, n4 = self.level_features(new_features, ph, pw)
+        c1, c2, c3, c4 = cached
+        t = c3.shape[0] + 1
+
+        if pred_idx is not None:
+            # traced index vector (static length) — gathers stay dynamic so
+            # the transition-phase schedules reuse one compiled program
+            idx = jnp.asarray(pred_idx, dtype=jnp.int32)
+            l1p = jnp.concatenate([c1[idx], n1], axis=0)
+            l2p = jnp.concatenate([c2[idx], n2], axis=0)
+        else:
+            l1p, l2p = n1, n2
+        l3 = jnp.concatenate([c3, n3], axis=0)
+        l4 = jnp.concatenate([c4, n4], axis=0)
+
+        r1 = self.layer1_rn(l1p)
+        r2 = self.layer2_rn(l2p)
+        l4 = self._temporal(self.motion_1, l4, 1)
+        r4 = self.layer4_rn(l4)
+        l3 = self._temporal(self.motion_0, l3, 1)
+        r3 = self.layer3_rn(l3)
+
+        path4 = self.refinenet4(r4, out_hw=r3.shape[-3:-1])
+        if not skip_tmp_block:
+            path4 = self._temporal(self.motion_2, path4, 1)
+        path3 = self.refinenet3(path4, r3, out_hw=r2.shape[-3:-1])
+        path3 = self._temporal(self.motion_3, path3, 1)
+
+        # Keep only the frames whose depth is requested (+ current, last).
+        if pred_idx is not None:
+            sel = jnp.concatenate(
+                [idx, jnp.asarray([t - 1], dtype=jnp.int32)]
+            )
+            path3 = path3[sel]
+        else:
+            path3 = path3[-1:]
+
+        path2 = self.refinenet2(path3, r2, out_hw=r1.shape[-3:-1])
+        path1 = self.refinenet1(path2, r1)
+        depth = self._output_head(path1, ph, pw)
+        return depth, (n1, n2, n3, n4)

@@ -7,13 +7,16 @@ bilinear upsample to the input resolution → ReLU → inverse depth
 
 Functional JAX design: ``VideoDepthAnything`` is a linen module; use
 ``init_params`` / ``apply`` (or the convenience ``VDAModel`` bundle that
-carries params + a jitted window function).
+carries params + a jitted window function).  Besides the batch window
+``__call__`` it exposes the two streaming-mode methods
+(``encode_level_features`` / ``streaming_step``, ref
+``video_depth.py:67-89``), invoked via ``module.apply(..., method=...)``.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -33,30 +36,60 @@ class VideoDepthAnything(nn.Module):
     cfg: ModelConfig
     attn_impl: str = "xla"
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, skip_tmp_block: bool = False) -> jnp.ndarray:
-        cfg = self.cfg
-        b, t, h, w, _ = x.shape
-        p = cfg.vit.patch_size
+    def setup(self):
+        self.pretrained = DinoViT(self.cfg.vit, self.attn_impl)
+        self.head = DPTHeadTemporal(self.cfg, self.attn_impl)
+
+    def _check_hw(self, h: int, w: int) -> Tuple[int, int]:
+        p = self.cfg.vit.patch_size
         if h % p or w % p:
             raise ValueError(
                 f"frame size ({h}, {w}) must be a multiple of the ViT patch "
                 f"size {p}; use utils.transform.Resize to preprocess"
             )
-        ph, pw = h // p, w // p
+        return h // p, w // p
+
+    def __call__(self, x: jnp.ndarray, skip_tmp_block: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        b, t, h, w, _ = x.shape
+        ph, pw = self._check_hw(h, w)
         frames = x.reshape(b * t, h, w, 3)
-        feats = DinoViT(cfg.vit, self.attn_impl, name="pretrained")(
-            frames, cfg.intermediate_layer_idx
-        )
-        depth = DPTHeadTemporal(cfg, self.attn_impl, name="head")(
-            feats, b, t, ph, pw, skip_tmp_block
-        )
+        feats = self.pretrained(frames, cfg.intermediate_layer_idx)
+        depth = self.head(feats, b, t, ph, pw, skip_tmp_block)
         # Head returns fp32 (output_conv2 island); the reference casts back to
         # the autocast dtype before the final upsample (video_depth.py:370).
         depth = depth.astype(x.dtype)
         depth = bilinear_resize(depth, h, w)
-        depth = nn.relu(depth)
         return depth.reshape(b, t, h, w)
+
+    # -- streaming-mode methods (apply with method=...) ---------------------
+
+    def encode_level_features(self, x: jnp.ndarray):
+        """``(N, H, W, 3)`` frames → 4 per-frame pre-motion level features
+        for the cache (ref ``get_motion_features``)."""
+        n, h, w, _ = x.shape
+        ph, pw = self._check_hw(h, w)
+        feats = self.pretrained(x, self.cfg.intermediate_layer_idx)
+        return self.head.level_features(feats, ph, pw)
+
+    def streaming_step(
+        self,
+        x: jnp.ndarray,
+        cached,
+        pred_idx: Optional[Tuple[int, ...]] = None,
+        skip_tmp_block: bool = False,
+    ):
+        """One frame ``(1, H, W, 3)`` + cached level features → (depth at
+        input resolution ``(P, H, W)``, new level features)."""
+        _, h, w, _ = x.shape
+        ph, pw = self._check_hw(h, w)
+        feats = self.pretrained(x, self.cfg.intermediate_layer_idx)
+        depth, new_feats = self.head.streaming_forward(
+            feats, cached, ph, pw, pred_idx=pred_idx, skip_tmp_block=skip_tmp_block
+        )
+        depth = depth.astype(x.dtype)
+        depth = bilinear_resize(depth, h, w)
+        return depth[..., 0], new_feats
 
 
 class VDAModel:
