@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark evaluation CLI (capability of reference ``eval.py:23-193``).
+
+  python eval.py --dataset kitti --root /data/KITTI --encoder vits \
+      --checkpoint ckpt.pth --csv out/kitti_metrics.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Video Depth Anything evaluation (TPU)")
+    p.add_argument("--dataset", required=True,
+                   choices=["kitti", "vkitti", "sintel", "tartanair", "pointodyssey",
+                            "dynamicreplica", "sceneflow", "irs"])
+    p.add_argument("--root", required=True)
+    p.add_argument("--is_val", action="store_true", help="use the val split where defined")
+    p.add_argument("--encoder", default="vits", choices=["vits", "vitb", "vitl"])
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--input_size", type=int, default=518)
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--csv", required=True)
+    p.add_argument("--max_scenes", type=int, default=None)
+    p.add_argument("--max_frames_per_scene", type=int, default=None)
+    p.add_argument("--no_tae", action="store_true")
+    p.add_argument("--align_only_first_frame", action="store_true")
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--data_parallel", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_depth_anything_tpu.data import get_dataset
+    from video_depth_anything_tpu.evals.evaluate import evaluate_dataset
+    from video_depth_anything_tpu.models.vda import VDAModel
+
+    kwargs = {}
+    if args.dataset == "kitti":
+        kwargs["is_val"] = args.is_val
+    dataset = get_dataset(args.dataset, args.root, **kwargs)
+
+    model = VDAModel(args.encoder, dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
+    if args.random_init:
+        model.init_params(jax.random.PRNGKey(0))
+    else:
+        from video_depth_anything_tpu.io import checkpoint as ckpt_io
+
+        ckpt = args.checkpoint or f"./checkpoints/video_depth_anything_{args.encoder}.pth"
+        model.params = (
+            ckpt_io.load_torch_checkpoint(ckpt, model.cfg)
+            if ckpt.endswith(".pth")
+            else ckpt_io.load_native(ckpt)
+        )
+
+    if args.streaming:
+        from video_depth_anything_tpu.inference.streaming import StreamingDepthPipeline
+
+        class _Adapter:
+            def __init__(self, inner):
+                self.inner = inner
+
+            def infer_video_depth(self, frames, *a, **k):
+                return self.inner.infer(frames)
+
+        pipeline = _Adapter(StreamingDepthPipeline(model, input_size=args.input_size))
+    elif args.data_parallel:
+        from video_depth_anything_tpu.parallel.data_parallel import (
+            DataParallelVideoDepthPipeline,
+        )
+
+        pipeline = DataParallelVideoDepthPipeline(model, input_size=args.input_size)
+    else:
+        from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
+
+        pipeline = VideoDepthPipeline(model, input_size=args.input_size)
+
+    result = evaluate_dataset(
+        pipeline,
+        dataset,
+        args.csv,
+        max_scenes=args.max_scenes,
+        max_frames_per_scene=args.max_frames_per_scene,
+        compute_tae=not args.no_tae,
+        align_only_first_frame=args.align_only_first_frame,
+    )
+    print(json.dumps(result, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

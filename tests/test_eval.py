@@ -1,0 +1,162 @@
+"""Evaluation layer: metric/alignment parity vs the reference utilities,
+TAE geometric self-consistency, CSV round-trip, end-to-end driver."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests.reference_oracle import REFERENCE_ROOT, _install_shims
+from video_depth_anything_tpu.evals.align import align_prediction
+from video_depth_anything_tpu.evals.metrics import CsvSaver, compute_all, compute_all_jax
+from video_depth_anything_tpu.evals.tae import reproject_depth, temporal_alignment_error
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    _install_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from utils import align as ref_align
+    from utils import metrics as ref_metrics
+
+    return ref_metrics, ref_align
+
+
+def test_metrics_match_reference(ref_utils, rng):
+    ref_metrics, _ = ref_utils
+    pred = rng.rand(4, 20, 30).astype(np.float32) * 10 + 0.5
+    gt = rng.rand(4, 20, 30).astype(np.float32) * 10 + 0.5
+    valid = rng.rand(4, 20, 30) > 0.3
+
+    ours = compute_all(pred, gt, valid)
+    assert np.isclose(
+        ours["Delta1"], 1.0 - ref_metrics.OutlierRatio(pred, gt, 1.25, valid)
+    )
+    assert np.isclose(
+        ours["Delta3"], 1.0 - ref_metrics.OutlierRatio(pred, gt, 1.25**3, valid)
+    )
+    assert np.isclose(
+        ours["AbsoluteError"],
+        ref_metrics.AbsoluteDifference_Error(pred, gt, valid),
+    )
+    assert np.isclose(
+        ours["AbsoluteRelative"],
+        ref_metrics.AbsoluteRelativeDifference_Error(pred, gt, valid),
+    )
+    assert np.isclose(
+        ours["SignedRelative"],
+        ref_metrics.SignedRelativeDifference_Error(pred, gt, valid),
+    )
+    assert np.isclose(
+        ours["MeanSquaredError"], ref_metrics.MeanSquared_Error(pred, gt, valid)
+    )
+    # jax backend agrees with numpy backend
+    theirs = {k: float(v) for k, v in compute_all_jax(pred, gt, valid).items()}
+    for k in ours:
+        assert np.isclose(ours[k], theirs[k], rtol=1e-5), k
+
+
+def test_align_prediction_matches_reference(ref_utils, rng):
+    _, ref_align = ref_utils
+    gt = rng.rand(3, 24, 32).astype(np.float32) * 20 + 1.0
+    valid = rng.rand(3, 24, 32) > 0.2
+    # model-style inverse-depth prediction: affine map of 1/gt + noise
+    pred = (1.0 / gt) * 2.3 + 0.4 + rng.randn(3, 24, 32).astype(np.float32) * 0.01
+
+    want, w_scale, w_shift = ref_align.align_prediction(pred, gt, valid, max_depth=80.0)
+    got, scale, shift = align_prediction(pred, gt, valid, max_depth=80.0)
+
+    assert np.isclose(scale, w_scale, rtol=1e-5)
+    assert np.isclose(shift, w_shift, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_reprojection_identity():
+    depth = np.full((10, 12), 5.0, np.float32)
+    k = np.array([[10.0, 0, 6.0], [0, 10.0, 5.0], [0, 0, 1]])
+    out = reproject_depth(depth, k, np.eye(4))
+    np.testing.assert_allclose(out, depth, atol=1e-5)
+
+
+def test_tae_zero_for_consistent_depth():
+    """A static fronto-parallel plane viewed by a camera translating along x:
+    depth is constant, reprojection must agree -> TAE = 0."""
+    t_len, h, w = 4, 16, 20
+    depths = np.full((t_len, h, w), 8.0, np.float32)
+    k = np.tile(np.array([[12.0, 0, 10.0], [0, 12.0, 8.0], [0, 0, 1]]), (t_len, 1, 1))
+    extr = np.tile(np.eye(4), (t_len, 1, 1))
+    for t in range(t_len):
+        extr[t, 0, 3] = -0.5 * t  # world->cam shift: camera moves +x
+    tae = temporal_alignment_error(depths, k, extr)
+    assert tae < 1e-6
+
+
+def test_tae_positive_for_flicker():
+    t_len, h, w = 3, 16, 20
+    depths = np.full((t_len, h, w), 8.0, np.float32)
+    depths[1] *= 1.3  # temporal flicker
+    k = np.tile(np.array([[12.0, 0, 10.0], [0, 12.0, 8.0], [0, 0, 1]]), (t_len, 1, 1))
+    extr = np.tile(np.eye(4), (t_len, 1, 1))
+    tae = temporal_alignment_error(depths, k, extr)
+    assert tae > 0.1
+
+
+def test_csv_saver_roundtrip(tmp_path):
+    path = str(tmp_path / "m.csv")
+    saver = CsvSaver(path)
+    m = dict(Delta1=0.9, Delta2=0.95, Delta3=0.99, SignedRelative=0.01,
+             AbsoluteError=0.5, AbsoluteRelative=0.05, MeanSquaredError=0.3)
+    saver.add_scene("s0", m, 2.0, 0.1, n_frames=10, tae=0.02)
+    saver.add_scene("s1", m, 2.1, 0.2, n_frames=12, tae=0.03)
+    saver.summarize(extra_header=["fps"], extra_row=[10.0])
+    text = open(path).read()
+    assert "Overall Mean" in text and "Overall Variance" in text and "TAE" in text
+    with pytest.raises(FileExistsError):
+        CsvSaver(path).add_scene("s2", m, 1.0, 0.0)
+
+
+def test_evaluate_dataset_end_to_end(tmp_path):
+    """Synthetic dataset + a fake pipeline that returns a noisy affine map of
+    inverse GT: driver must produce near-perfect metrics and a CSV."""
+
+    class FakeDataset:
+        max_depth = 50.0
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            gt = rng.rand(5, 18, 24).astype(np.float32) * 10 + 1
+            return {
+                "image": (rng.rand(5, 18, 24, 3) * 255).astype(np.uint8),
+                "depth": gt,
+                "valid_depth": np.ones_like(gt, dtype=bool),
+                "intrinsics": np.tile(
+                    np.array([[20.0, 0, 12], [0, 20.0, 9], [0, 0, 1]]), (5, 1, 1)
+                ),
+                "extrinsics": np.tile(np.eye(4), (5, 1, 1)),
+                "name": f"scene{i}",
+                "_gt": gt,
+            }
+
+    class FakePipeline:
+        def __init__(self, ds):
+            self.ds = ds
+            self._i = 0
+
+        def infer_video_depth(self, frames, *a, **k):
+            gt = self.ds[self._i]["_gt"]
+            self._i += 1
+            return 1.0 / gt * 3.0 + 0.2, -1
+
+    ds = FakeDataset()
+    from video_depth_anything_tpu.evals.evaluate import evaluate_dataset
+
+    res = evaluate_dataset(
+        FakePipeline(ds), ds, str(tmp_path / "eval.csv"), progress=False
+    )
+    assert res["scenes"] == 2
+    assert res["mean_absrel"] < 1e-3
+    assert "Overall Mean" in open(res["csv"]).read()

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Temporal fine-tuning CLI (net-new; the reference's ``train.py`` is a GPU
+stress tool with no training loop — SURVEY.md §2.5).
+
+Frozen DINOv2 encoder, trainable head + motion modules, SSI + TGM loss,
+clips sampled from scene datasets, pjit'd step over a data×model mesh.
+
+  python train.py --dataset pointodyssey --root /data/po --encoder vits \
+      --steps 1000 --clip_len 8 --batch_size 2 --out ckpt_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Video Depth Anything training (TPU)")
+    p.add_argument("--dataset", action="append", required=True,
+                   help="dataset name (repeatable): pointodyssey, dynamicreplica, ...")
+    p.add_argument("--root", action="append", required=True,
+                   help="dataset root, one per --dataset")
+    p.add_argument("--encoder", default="vits", choices=["vits", "vitb", "vitl"])
+    p.add_argument("--init_checkpoint", default=None, help=".pth or native dir")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--clip_len", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--input_size", type=int, default=266)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--tgm_weight", type=float, default=10.0)
+    p.add_argument("--train_encoder", action="store_true")
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--out", default="./checkpoints_out")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_depth_anything_tpu.data import get_dataset
+    from video_depth_anything_tpu.data.clips import ClipSampler
+    from video_depth_anything_tpu.io.checkpoint import (
+        load_native,
+        load_torch_checkpoint,
+        save_native,
+    )
+    from video_depth_anything_tpu.models.vda import VDAModel
+    from video_depth_anything_tpu.parallel.mesh import create_mesh
+    from video_depth_anything_tpu.train.trainer import Trainer, make_optimizer
+
+    datasets = [
+        get_dataset(name, root) for name, root in zip(args.dataset, args.root)
+    ]
+    sampler = ClipSampler(
+        datasets,
+        clip_len=args.clip_len,
+        batch_size=args.batch_size,
+        input_size=args.input_size,
+    )
+
+    model = VDAModel(args.encoder, dtype=jnp.bfloat16)
+    if args.init_checkpoint:
+        model.params = (
+            load_torch_checkpoint(args.init_checkpoint, model.cfg)
+            if args.init_checkpoint.endswith(".pth")
+            else load_native(args.init_checkpoint)
+        )
+    else:
+        model.init_params(jax.random.PRNGKey(0))
+
+    n_dev = len(jax.devices())
+    mesh = create_mesh(model=args.model_parallel) if n_dev > 1 else None
+    trainer = Trainer(
+        model.module,
+        optimizer=make_optimizer(args.lr, train_encoder=args.train_encoder),
+        mesh=mesh,
+        tgm_weight=args.tgm_weight,
+    )
+    state = trainer.init_state(model.params)
+
+    import os
+
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.time()
+    it = iter(sampler)
+    for step in range(1, args.steps + 1):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        if mesh is not None:
+            with mesh:
+                state, metrics = trainer.step(state, batch)
+        else:
+            state, metrics = trainer.step(state, batch)
+        if step % args.log_every == 0 or step == 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(step=step, sps=round(step / (time.time() - t0), 3))
+            print(json.dumps(m))
+        if step % args.save_every == 0 or step == args.steps:
+            path = os.path.join(args.out, f"step_{step:07d}")
+            save_native(os.path.abspath(path), jax.device_get(state.params))
+            print(f"saved {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

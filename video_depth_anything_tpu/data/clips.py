@@ -1,0 +1,76 @@
+"""Training clip sampler.
+
+Net-new (the reference has no training loop): samples fixed-length frame
+clips from scene datasets, preprocesses them to model resolution, converts
+metric depth to disparity targets, and yields jit-ready batches for
+``train.Trainer`` — ``frames (B, T, h, w, 3)`` normalized, ``disparity``
+and ``mask (B, T, h, w)`` (GT resized with nearest neighbor, matching the
+reference's target-resize convention, ``util/transform.py:117-121``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Sequence
+
+import cv2
+import numpy as np
+
+from video_depth_anything_tpu.utils.transform import model_size_for, preprocess_frames
+
+
+class ClipSampler:
+    def __init__(
+        self,
+        datasets: Sequence,
+        clip_len: int = 8,
+        batch_size: int = 1,
+        input_size: int = 518,
+        seed: int = 0,
+    ):
+        self.datasets = list(datasets)
+        self.clip_len = clip_len
+        self.batch_size = batch_size
+        self.input_size = input_size
+        self.rng = np.random.RandomState(seed)
+        self._index = [
+            (d, s) for d, ds in enumerate(self.datasets) for s in range(len(ds))
+        ]
+        if not self._index:
+            raise ValueError("no scenes available")
+
+    def _sample_clip(self) -> Dict[str, np.ndarray]:
+        d, s = self._index[self.rng.randint(len(self._index))]
+        scene = self.datasets[d][s]
+        frames = scene["image"]
+        n = len(frames)
+        t = min(self.clip_len, n)
+        start = self.rng.randint(0, max(1, n - t + 1))
+        sl = slice(start, start + t)
+
+        rgb = frames[sl]
+        if rgb.dtype != np.uint8:
+            rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        x = preprocess_frames(rgb, self.input_size)
+        h, w = x.shape[1:3]
+
+        depth = np.asarray(scene["depth"][sl], np.float32)
+        valid = np.asarray(scene["valid_depth"][sl]).astype(np.float32)
+        gt_h, gt_w = depth.shape[1:]
+        if (gt_h, gt_w) != (h, w):
+            depth = np.stack(
+                [cv2.resize(f, (w, h), interpolation=cv2.INTER_NEAREST) for f in depth]
+            )
+            valid = np.stack(
+                [cv2.resize(f, (w, h), interpolation=cv2.INTER_NEAREST) for f in valid]
+            )
+        with np.errstate(divide="ignore"):
+            disparity = np.where(depth > 0, 1.0 / depth, 0.0).astype(np.float32)
+        mask = valid * (depth > 0)
+        return {"frames": x, "disparity": disparity, "mask": mask}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            clips = [self._sample_clip() for _ in range(self.batch_size)]
+            yield {
+                k: np.stack([c[k] for c in clips]) for k in ("frames", "disparity", "mask")
+            }
