@@ -36,22 +36,24 @@ def bench_window(encoder: str = "vits", size: int = 518, frames: int = 32,
         jnp.asarray(np.random.randn(1, frames, size, size, 3), dtype=jnp.bfloat16)
     )
 
-    def step():
-        d = model.infer_window(x)
+    def force(d):
         # Scalar tap forces full execution; avoids bulk D2H in the timing.
         return float(jnp.sum(d[0, 0, :2, :2]))
 
     t0 = time.time()
-    step()
+    force(model.infer_window(x))
     compile_s = time.time() - t0
     for _ in range(warmup):
-        step()
-    times = []
+        force(model.infer_window(x))
+    # The axon tunnel costs ~28 ms per host roundtrip; amortize it by
+    # dispatching `iters` steps back-to-back and forcing only the last —
+    # the device executes in order, so this measures true per-step time.
+    t0 = time.time()
+    d = None
     for _ in range(iters):
-        t0 = time.time()
-        step()
-        times.append(time.time() - t0)
-    med = float(np.median(times))
+        d = model.infer_window(x)
+    force(d)
+    med = (time.time() - t0) / iters
     return {
         "encoder": encoder,
         "size": size,

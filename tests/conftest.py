@@ -10,6 +10,9 @@ import os
 
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
+# parity tests pin the exact cv2 preprocessing path; the native C++ path has
+# its own tolerance test (tests/test_native_preproc.py)
+os.environ["VDA_NATIVE_PREPROC"] = "0"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )

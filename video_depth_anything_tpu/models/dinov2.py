@@ -43,7 +43,7 @@ class Attention(nn.Module):
 
     dim: int
     num_heads: int
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +74,7 @@ class Block(nn.Module):
     """Pre-norm ViT block with LayerScale (ref ``dinov2_layers/block.py:36-107``)."""
 
     cfg: ViTConfig
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +100,7 @@ class DinoViT(nn.Module):
     """
 
     cfg: ViTConfig
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(

@@ -79,7 +79,7 @@ class DPTHeadTemporal(nn.Module):
     """Temporal DPT head over tapped encoder features."""
 
     cfg: ModelConfig
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     def setup(self):
         cfg = self.cfg

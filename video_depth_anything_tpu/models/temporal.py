@@ -71,7 +71,7 @@ class TemporalSelfAttention(nn.Module):
 
     cfg: MotionModuleConfig
     dim: int
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -120,7 +120,7 @@ class GEGLUFeedForward(nn.Module):
 class TemporalTransformerBlock(nn.Module):
     cfg: MotionModuleConfig
     dim: int
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -141,7 +141,7 @@ class TemporalModule(nn.Module):
 
     cfg: MotionModuleConfig
     channels: int
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -34,7 +34,7 @@ class VideoDepthAnything(nn.Module):
     non-negative inverse depth."""
 
     cfg: ModelConfig
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     def setup(self):
         self.pretrained = DinoViT(self.cfg.vit, self.attn_impl)
@@ -104,7 +104,7 @@ class VDAModel:
         encoder: str = "vits",
         params=None,
         dtype: jnp.dtype = jnp.bfloat16,
-        attn_impl: str = "xla",
+        attn_impl: str = "auto",
         cfg: Optional[ModelConfig] = None,
     ):
         self.cfg = cfg or get_model_config(encoder)

@@ -48,15 +48,18 @@ def multi_head_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
-    impl: str = "xla",
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Scaled dot-product attention over ``(..., S, H, D)`` tensors.
 
-    ``impl``: "xla" (dense, fused by the compiler) or "pallas" (hand-written
-    kernels; falls back to "xla" for unsupported shapes).
+    ``impl``: "xla" (dense, compiler-fused), "pallas" (hand-written flash
+    kernel; falls back to "xla" for unsupported shapes), or "auto"
+    (pallas on TPU, xla elsewhere).
     """
     head_dim = q.shape[-1]
     scale = head_dim**-0.5
+    if impl == "auto":
+        impl = "pallas"
     if impl == "pallas":
         from video_depth_anything_tpu.ops import flash_attention
 

@@ -50,7 +50,22 @@ def model_size_for(height: int, width: int, input_size: int = 518) -> Tuple[int,
 
 def preprocess_frames(frames: np.ndarray, input_size: int = 518) -> np.ndarray:
     """uint8 RGB ``(N, H, W, 3)`` → normalized float32 ``(N, h, w, 3)``
-    ready for the model (h, w multiples of 14)."""
+    ready for the model (h, w multiples of 14).
+
+    Dispatches to the native C++ library (fused threaded resize+normalize,
+    ``native/preproc.cpp``) unless ``VDA_NATIVE_PREPROC=0``; the cv2 path
+    below is the exact-parity reference implementation.
+    """
+    import os
+
+    if os.environ.get("VDA_NATIVE_PREPROC", "1") != "0" and frames.dtype == np.uint8:
+        from video_depth_anything_tpu.io.native_preproc import (
+            preprocess_frames_native,
+        )
+
+        out = preprocess_frames_native(frames, input_size)
+        if out is not None:
+            return out
     n, h, w, _ = frames.shape
     new_h, new_w = model_size_for(h, w, input_size)
     out = np.empty((n, new_h, new_w, 3), dtype=np.float32)
