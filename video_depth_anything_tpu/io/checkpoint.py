@@ -236,6 +236,129 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Dict:
     return convert_torch_state_dict(np_state, cfg)
 
 
+def export_torch_state_dict(params, cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Inverse of ``convert_torch_state_dict``: JAX pytree → torch-style
+    state dict (numpy), so fine-tuned weights can round-trip back to the
+    reference ecosystem.  The deterministic APE buffers and ``mask_token``
+    (dropped on import) are re-synthesized / zero-filled."""
+    from video_depth_anything_tpu.models.temporal import sinusoidal_position_table
+
+    out: Dict[str, np.ndarray] = {}
+    p = cfg.vit.patch_size
+    d = cfg.vit.embed_dim
+    g = lambda tree, *path: np.asarray(
+        _tree_get(tree, path), dtype=np.float32
+    )
+
+    def _tree_get(tree, path):
+        for key in path:
+            tree = tree[key]
+        return tree
+
+    pre = params["pretrained"]
+    out["pretrained.patch_embed.proj.weight"] = np.ascontiguousarray(
+        np.asarray(pre["patch_kernel"], np.float32)
+        .reshape(p, p, 3, d)
+        .transpose(3, 2, 0, 1)
+    )
+    out["pretrained.patch_embed.proj.bias"] = np.asarray(pre["patch_bias"], np.float32)
+    out["pretrained.cls_token"] = np.asarray(pre["cls_token"], np.float32)
+    out["pretrained.pos_embed"] = np.asarray(pre["pos_embed"], np.float32)
+    out["pretrained.mask_token"] = np.zeros((1, d), np.float32)
+    out["pretrained.norm.weight"] = g(pre, "norm", "scale")
+    out["pretrained.norm.bias"] = g(pre, "norm", "bias")
+    for i in range(cfg.vit.depth):
+        b = pre[f"block_{i}"]
+        t = f"pretrained.blocks.{i}"
+        out[f"{t}.norm1.weight"] = g(b, "norm1", "scale")
+        out[f"{t}.norm1.bias"] = g(b, "norm1", "bias")
+        out[f"{t}.norm2.weight"] = g(b, "norm2", "scale")
+        out[f"{t}.norm2.bias"] = g(b, "norm2", "bias")
+        out[f"{t}.ls1.gamma"] = np.asarray(b["ls1_gamma"], np.float32)
+        out[f"{t}.ls2.gamma"] = np.asarray(b["ls2_gamma"], np.float32)
+        out[f"{t}.attn.qkv.weight"] = _linear(g(b, "attn", "qkv", "kernel"))
+        out[f"{t}.attn.qkv.bias"] = g(b, "attn", "qkv", "bias")
+        out[f"{t}.attn.proj.weight"] = _linear(g(b, "attn", "proj", "kernel"))
+        out[f"{t}.attn.proj.bias"] = g(b, "attn", "proj", "bias")
+        out[f"{t}.mlp.fc1.weight"] = _linear(g(b, "mlp", "fc1", "kernel"))
+        out[f"{t}.mlp.fc1.bias"] = g(b, "mlp", "fc1", "bias")
+        out[f"{t}.mlp.fc2.weight"] = _linear(g(b, "mlp", "fc2", "kernel"))
+        out[f"{t}.mlp.fc2.bias"] = g(b, "mlp", "fc2", "bias")
+
+    head = params["head"]
+    for i in range(4):
+        out[f"head.projects.{i}.weight"] = _linear(
+            g(head, f"project_{i}", "kernel")
+        )[:, :, None, None]
+        out[f"head.projects.{i}.bias"] = g(head, f"project_{i}", "bias")
+    out["head.resize_layers.0.weight"] = np.ascontiguousarray(
+        g(head, "resize_0", "kernel").transpose(0, 3, 1, 2)
+    )
+    out["head.resize_layers.0.bias"] = g(head, "resize_0", "bias")
+    out["head.resize_layers.1.weight"] = np.ascontiguousarray(
+        g(head, "resize_1", "kernel").transpose(0, 3, 1, 2)
+    )
+    out["head.resize_layers.1.bias"] = g(head, "resize_1", "bias")
+    out["head.resize_layers.3.weight"] = np.ascontiguousarray(
+        g(head, "resize_3", "kernel").transpose(3, 2, 0, 1)
+    )
+    out["head.resize_layers.3.bias"] = g(head, "resize_3", "bias")
+    conv_back = lambda w: np.ascontiguousarray(w.transpose(3, 2, 0, 1))
+    for i in range(1, 5):
+        out[f"head.scratch.layer{i}_rn.weight"] = conv_back(
+            g(head, f"layer{i}_rn", "kernel")
+        )
+    for i in range(1, 5):
+        r = head[f"refinenet{i}"]
+        t = f"head.scratch.refinenet{i}"
+        out[f"{t}.out_conv.weight"] = conv_back(g(r, "out_conv", "kernel"))
+        out[f"{t}.out_conv.bias"] = g(r, "out_conv", "bias")
+        for rcu_t, rcu_j in (("resConfUnit1", "rcu1"), ("resConfUnit2", "rcu2")):
+            for c in ("conv1", "conv2"):
+                out[f"{t}.{rcu_t}.{c}.weight"] = conv_back(g(r, rcu_j, c, "kernel"))
+                out[f"{t}.{rcu_t}.{c}.bias"] = g(r, rcu_j, c, "bias")
+    out["head.scratch.output_conv1.weight"] = conv_back(g(head, "output_conv1", "kernel"))
+    out["head.scratch.output_conv1.bias"] = g(head, "output_conv1", "bias")
+    out["head.scratch.output_conv2.0.weight"] = conv_back(g(head, "output_conv2_0", "kernel"))
+    out["head.scratch.output_conv2.0.bias"] = g(head, "output_conv2_0", "bias")
+    out["head.scratch.output_conv2.2.weight"] = conv_back(g(head, "output_conv2_2", "kernel"))
+    out["head.scratch.output_conv2.2.bias"] = g(head, "output_conv2_2", "bias")
+
+    for j in range(4):
+        mm = head[f"motion_{j}"]
+        t = f"head.motion_modules.{j}.temporal_transformer"
+        out[f"{t}.norm.weight"] = g(mm, "norm", "scale")
+        out[f"{t}.norm.bias"] = g(mm, "norm", "bias")
+        out[f"{t}.proj_in.weight"] = _linear(g(mm, "proj_in", "kernel"))
+        out[f"{t}.proj_in.bias"] = g(mm, "proj_in", "bias")
+        out[f"{t}.proj_out.weight"] = _linear(g(mm, "proj_out", "kernel"))
+        out[f"{t}.proj_out.bias"] = g(mm, "proj_out", "bias")
+        dim = np.asarray(mm["proj_in"]["kernel"]).shape[1]
+        for k in range(cfg.motion.num_transformer_blocks):
+            blk = mm[f"block_{k}"]
+            bt = f"{t}.transformer_blocks.{k}"
+            out[f"{bt}.ff_norm.weight"] = g(blk, "ff_norm", "scale")
+            out[f"{bt}.ff_norm.bias"] = g(blk, "ff_norm", "bias")
+            out[f"{bt}.ff.net.0.proj.weight"] = _linear(g(blk, "ff", "proj", "kernel"))
+            out[f"{bt}.ff.net.0.proj.bias"] = g(blk, "ff", "proj", "bias")
+            out[f"{bt}.ff.net.2.weight"] = _linear(g(blk, "ff", "out", "kernel"))
+            out[f"{bt}.ff.net.2.bias"] = g(blk, "ff", "out", "bias")
+            pe = sinusoidal_position_table(cfg.motion.temporal_max_len, dim)[None]
+            for a in range(cfg.motion.num_attention_blocks):
+                at = f"{bt}.attention_blocks.{a}"
+                out[f"{bt}.norms.{a}.weight"] = g(blk, f"norm_{a}", "scale")
+                out[f"{bt}.norms.{a}.bias"] = g(blk, f"norm_{a}", "bias")
+                out[f"{at}.to_q.weight"] = _linear(g(blk, f"attn_{a}", "to_q", "kernel"))
+                out[f"{at}.to_k.weight"] = _linear(g(blk, f"attn_{a}", "to_k", "kernel"))
+                out[f"{at}.to_v.weight"] = _linear(g(blk, f"attn_{a}", "to_v", "kernel"))
+                out[f"{at}.to_out.0.weight"] = _linear(
+                    g(blk, f"attn_{a}", "to_out", "kernel")
+                )
+                out[f"{at}.to_out.0.bias"] = g(blk, f"attn_{a}", "to_out", "bias")
+                out[f"{at}.pos_encoder.pe"] = pe
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Native (Orbax) persistence
 

@@ -15,6 +15,27 @@ import jax
 import jax.numpy as jnp
 
 
+class DTypeDense(nn.Module):
+    """Dense that computes in the *input* dtype (params cast down), unlike
+    ``nn.Dense(dtype=None)`` which promotes bf16 activations to fp32 against
+    fp32 params.  Needed for setup-style modules where the activation dtype
+    is unknown at construction.  Param names match ``nn.Dense``."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
 class Conv2d(nn.Module):
     """NHWC conv with torch-compatible hyper-parameters."""
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from video_depth_anything_tpu.config import MotionModuleConfig
 from video_depth_anything_tpu.models.dinov2 import _gelu
-from video_depth_anything_tpu.models.layers import GroupNorm
+from video_depth_anything_tpu.models.layers import DTypeDense, GroupNorm
 from video_depth_anything_tpu.ops.attention import multi_head_attention
 
 
@@ -67,26 +67,42 @@ def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarr
 
 
 class TemporalSelfAttention(nn.Module):
-    """One attention block over the frame axis of ``(B, S, T, C)``."""
+    """One attention block over the frame axis of ``(B, S, T, C)``.
+
+    Besides the full-window ``__call__`` this exposes the KV-cache step
+    (``kv_step``) — the working equivalent of the reference's experimental
+    ``save_qkv`` cross-attention streaming (``motion_module.py:275-288``,
+    ``dpt_temporal.py:263-343``), with its bug fixed: the reference
+    concatenates ``key`` into the **value** cache (``motion_module.py:281``),
+    silently corrupting attention after the first cached frame.
+    """
 
     cfg: MotionModuleConfig
     dim: int
     attn_impl: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        self.to_q = DTypeDense(self.dim, use_bias=False)
+        self.to_k = DTypeDense(self.dim, use_bias=False)
+        self.to_v = DTypeDense(self.dim, use_bias=False)
+        self.to_out = DTypeDense(self.dim)
+
+    def _pos(self, x: jnp.ndarray, t: int) -> jnp.ndarray:
+        if self.cfg.pos_embedding_type == "ape":
+            pe = sinusoidal_position_table(self.cfg.temporal_max_len, self.dim)[:t]
+            return x + jnp.asarray(pe, dtype=x.dtype)
+        return x
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         heads = cfg.num_heads
         head_dim = self.dim // heads
         b, s, t, c = x.shape
 
-        if cfg.pos_embedding_type == "ape":
-            pe = sinusoidal_position_table(cfg.temporal_max_len, self.dim)[:t]
-            x = x + jnp.asarray(pe, dtype=x.dtype)
-
-        q = nn.Dense(self.dim, use_bias=False, name="to_q", dtype=x.dtype)(x)
-        k = nn.Dense(self.dim, use_bias=False, name="to_k", dtype=x.dtype)(x)
-        v = nn.Dense(self.dim, use_bias=False, name="to_v", dtype=x.dtype)(x)
+        x = self._pos(x, t)
+        q = self.to_q(x)
+        k = self.to_k(x)
+        v = self.to_v(x)
 
         if cfg.pos_embedding_type == "rope":
             cos, sin = rope_tables(cfg.temporal_max_len, self.dim)
@@ -99,7 +115,44 @@ class TemporalSelfAttention(nn.Module):
         v = v.reshape(b, s, t, heads, head_dim)
         out = multi_head_attention(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, s, t, c)
-        return nn.Dense(self.dim, name="to_out", dtype=x.dtype)(out)
+        return self.to_out(out)
+
+    def kv_step(self, x_new: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray):
+        """Single-frame step against a K/V ring cache.
+
+        ``x_new (B, S, 1, C)`` is the pre-normed hidden of the newest frame;
+        ``k_cache, v_cache (B, S, T, C)`` hold the previous frames' projected
+        keys/values.  The new frame takes the *last* APE slot (the cache is
+        ordered oldest→newest), attends over ``cache ∪ new``, and the caches
+        are shifted left by one with the new projections appended.
+        Returns ``(out (B, S, 1, C), k_cache', v_cache')``.
+        """
+        cfg = self.cfg
+        heads = cfg.num_heads
+        head_dim = self.dim // heads
+        b, s, _, c = x_new.shape
+        t_cache = k_cache.shape[2]
+
+        pe = sinusoidal_position_table(cfg.temporal_max_len, self.dim)
+        if cfg.pos_embedding_type == "ape":
+            x_pos = x_new + jnp.asarray(pe[min(t_cache, cfg.temporal_max_len - 1)], x_new.dtype)
+        else:
+            x_pos = x_new
+        q = self.to_q(x_pos)
+        k_new = self.to_k(x_pos)
+        v_new = self.to_v(x_pos)
+
+        k_all = jnp.concatenate([k_cache, k_new], axis=2)
+        v_all = jnp.concatenate([v_cache, v_new], axis=2)
+        q = q.reshape(b, s, 1, heads, head_dim)
+        out = multi_head_attention(
+            q,
+            k_all.reshape(b, s, t_cache + 1, heads, head_dim),
+            v_all.reshape(b, s, t_cache + 1, heads, head_dim),
+            impl=self.attn_impl,
+        ).reshape(b, s, 1, c)
+        # sliding-window eviction: drop the oldest cached frame
+        return self.to_out(out), k_all[:, :, 1:], v_all[:, :, 1:]
 
 
 class GEGLUFeedForward(nn.Module):
