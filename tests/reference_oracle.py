@@ -56,7 +56,7 @@ def load_reference_vda(encoder: str = "vits", num_frames: int = 32, seed: int = 
 
     _install_shims()
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)
     from video_depth_anything.video_depth import VideoDepthAnything  # noqa: E501  (reference import)
 
     configs = {

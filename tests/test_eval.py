@@ -16,7 +16,7 @@ from video_depth_anything_tpu.evals.tae import reproject_depth, temporal_alignme
 def ref_utils():
     _install_shims()
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)
     from utils import align as ref_align
     from utils import metrics as ref_metrics
 

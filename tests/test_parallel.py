@@ -73,3 +73,29 @@ def test_data_parallel_pipeline_matches_serial(small_model):
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_host_window_spans_cover_all_windows():
+    from video_depth_anything_tpu.inference.pipeline import num_windows, window_frame_indices
+    from video_depth_anything_tpu.parallel.multihost import host_window_spans
+
+    n_frames = 300
+    spans = host_window_spans(n_frames, 4)
+    n_win = num_windows(n_frames)
+    assert spans[0].window_start == 0 and spans[-1].window_stop == n_win
+    covered = []
+    idx = window_frame_indices(n_frames)
+    for s in spans:
+        covered.extend(range(s.window_start, s.window_stop))
+        # every frame a host's windows reference lies inside its decode span
+        if s.window_stop > s.window_start:
+            used = idx[s.window_start : s.window_stop]
+            assert used.min() >= s.frame_start
+            assert used.max() < s.frame_stop
+    assert covered == list(range(n_win))
+
+
+def test_initialize_distributed_single_host_noop():
+    from video_depth_anything_tpu.parallel.multihost import initialize_distributed
+
+    assert initialize_distributed() == (0, 1)

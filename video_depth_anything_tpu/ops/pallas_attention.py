@@ -2,11 +2,22 @@
 
 The ViT's dense attention materializes (B·T, heads, N, N) fp32 scores in
 HBM — at vitl/518² that is ~3.8 GB per block and makes the encoder
-HBM-bound (~14% MFU measured).  This kernel runs the classic
-online-softmax flash pattern entirely in VMEM: grid (batch·heads,
-q-blocks, kv-blocks), fp32 running max/sum/accumulator in scratch that
-persists across the sequential kv-block grid dimension, bf16 QK^T and PV
-GEMMs on the MXU with fp32 accumulation.
+HBM-bound (~14% MFU measured).  This kernel runs the online-softmax flash
+pattern entirely in VMEM: grid (batch·heads, q-blocks, kv-blocks), fp32
+running max/sum/accumulator scratch persisting across the sequential
+kv-block grid dimension, bf16 QK^T and PV GEMMs on the MXU.
+
+Tuning notes (measured on v5e through this repo's bench scripts):
+
+* At N≈1370 the workload is **VPU-bound**, not MXU-bound: the elementwise
+  max/sub/exp/sum chain over the fp32 score tile costs more than both
+  GEMMs.  Hence (a) coarse grids — the whole kv row in one block when it
+  fits VMEM (fine grids pay µs-scale per-invocation overhead across ~10k
+  programs: 19 ms → 10 ms just from coarsening), (b) ``q`` is pre-scaled so
+  the kernel never touches the score tile for scaling, and (c) an optional
+  ``softmax_dtype=bfloat16`` halves VPU traffic for the bf16 model path
+  (~0.3% relative output change; fp32 default bit-matches the XLA
+  reference within 1e-3).
 
 Shape contract: ``q, k, v : (BH, N_padded, D)`` with ``N_padded`` a
 multiple of the block size; ``n_valid`` marks the real token count and the
@@ -29,7 +40,18 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, n_valid, block_k, num_k
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    acc_ref,
+    m_ref,
+    l_ref,
+    *,
+    n_valid,
+    block_k,
+    num_k,
+    softmax_dtype,
 ):
     ki = pl.program_id(2)
 
@@ -39,24 +61,23 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled by the wrapper
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale
-    # mask pad columns (only the last block can contain them; the compare is
-    # cheap enough to apply unconditionally)
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, _NEG_INF)
+    # mask pad columns (static decision: skip the pass entirely when the
+    # row is unpadded; ``ki`` is traced so per-block gating is not possible)
+    if n_valid < num_k * block_k:
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _NEG_INF)
 
     m_prev = m_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)
+    p = jnp.exp((s - m_new).astype(softmax_dtype))
+    row_sum = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
     alpha = jnp.exp(m_prev - m_new)
-    l_ref[:] = jnp.broadcast_to(
-        alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
-    )
+    l_ref[:] = jnp.broadcast_to(alpha * l_ref[:, :1] + row_sum, l_ref.shape)
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype),
@@ -71,7 +92,8 @@ def _flash_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "n_valid", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "n_valid", "block_q", "block_k", "softmax_dtype", "interpret"),
 )
 def flash_attention_bhnd(
     q: jnp.ndarray,
@@ -80,19 +102,31 @@ def flash_attention_bhnd(
     *,
     scale: float,
     n_valid: int,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 0,
+    softmax_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """``q, k, v: (BH, Np, D)`` (Np % block == 0) → ``(BH, Np, D)``."""
+    """``q, k, v: (BH, Np, D)`` (Np % block == 0) → ``(BH, Np, D)``.
+
+    ``block_k=0`` means "whole kv row in one block" (preferred while the
+    fp32 score tile fits VMEM)."""
     bh, n_pad, d = q.shape
+    if block_k == 0:
+        block_k = n_pad
     block_q = min(block_q, n_pad)
     block_k = min(block_k, n_pad)
     num_q = n_pad // block_q
     num_k = n_pad // block_k
 
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+
     kernel = functools.partial(
-        _flash_kernel, scale=scale, n_valid=n_valid, block_k=block_k, num_k=num_k
+        _flash_kernel,
+        n_valid=n_valid,
+        block_k=block_k,
+        num_k=num_k,
+        softmax_dtype=softmax_dtype,
     )
     return pl.pallas_call(
         kernel,
@@ -121,15 +155,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 def spatial_flash_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, interpret: bool = False
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Model-layout adapter: ``(B, N, H, D)`` → flash → ``(B, N, H, D)``."""
     b, n, h, d = q.shape
-    block_q, block_k = 256, 512
-    n_pad = _round_up(n, max(block_q, block_k) if n >= 512 else 128)
-    if n_pad < 512:
-        block_q = block_k = 128
+    # whole-row kv while the fp32 score tile stays comfortably inside VMEM;
+    # stream kv in 512-blocks beyond that.  n_pad must be a multiple of
+    # block_q (rows) and block_k (columns).
+    if _round_up(n, 128) <= 2048:
+        block_q = min(512, _round_up(n, 128))
+        n_pad = _round_up(n, block_q)
+        block_k = n_pad
+    else:
+        block_q, block_k = 512, 512
+        n_pad = _round_up(n, 512)
 
+    # (B, N, H, D) -> (B*H, N, D): Mosaic requires the last two block dims
+    # to be (8, 128)-divisible, which rules out per-head blocking of the
+    # native layout; the transposes cost ~2 ms at the vitl shape.
     def to_bhnd(x):
         x = x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
         if n_pad != n:
@@ -146,8 +193,7 @@ def spatial_flash_attention(
         block_k=block_k,
         interpret=interpret,
     )
-    out = out[:, :n].reshape(b, h, n, d).transpose(0, 2, 1, 3)
-    return out
+    return out[:, :n].reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
 def try_spatial_attention(q, k, v, scale):
