@@ -73,3 +73,33 @@ def test_train_step_descends_and_freezes_encoder(rng):
     # encoder frozen by the optimizer mask
     enc_after = jax.tree.leaves(state.params["pretrained"])[0]
     np.testing.assert_array_equal(np.asarray(enc_before), np.asarray(enc_after))
+
+
+def test_save_restore_state_roundtrip(tmp_path, rng):
+    model = VDAModel("vits", dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    trainer = Trainer(
+        model.module,
+        optimizer=make_optimizer(learning_rate=1e-4),
+        compute_dtype=jnp.float32,
+        remat_encoder=False,
+    )
+    state = trainer.init_state(params)
+    batch = {
+        "frames": jnp.asarray(rng.randn(1, 2, 28, 28, 3), dtype=jnp.float32),
+        "disparity": jnp.asarray(rng.rand(1, 2, 28, 28), dtype=jnp.float32),
+        "mask": jnp.ones((1, 2, 28, 28), dtype=jnp.float32),
+    }
+    state, _ = trainer.step(state, batch)
+    state, _ = trainer.step(state, batch)
+
+    path = str(tmp_path / "state")
+    trainer.save_state(path, state)
+    restored = trainer.restore_state(path, params)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state must continue training identically
+    nxt_a, ma = trainer.step(state, batch)
+    nxt_b, mb = trainer.step(restored, batch)
+    assert np.isclose(float(ma["loss"]), float(mb["loss"]))

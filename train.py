@@ -35,6 +35,8 @@ def main(argv=None) -> int:
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--out", default="./checkpoints_out")
+    p.add_argument("--resume", action="store_true",
+                   help="resume params/optimizer/step from <out>/state_latest")
     args = p.parse_args(argv)
 
     import jax
@@ -79,14 +81,20 @@ def main(argv=None) -> int:
         mesh=mesh,
         tgm_weight=args.tgm_weight,
     )
-    state = trainer.init_state(model.params)
-
     import os
 
     os.makedirs(args.out, exist_ok=True)
+    state_path = os.path.join(args.out, "state_latest")
+    if args.resume and os.path.isdir(state_path):
+        state = trainer.restore_state(state_path, model.params)
+        print(f"resumed from {state_path} at step {int(state.step)}")
+    else:
+        state = trainer.init_state(model.params)
+
     t0 = time.time()
     it = iter(sampler)
-    for step in range(1, args.steps + 1):
+    start_step = int(state.step)
+    for step in range(start_step + 1, args.steps + 1):
         batch = {k: jnp.asarray(v) for k, v in next(it).items()}
         if mesh is not None:
             with mesh:
@@ -95,12 +103,13 @@ def main(argv=None) -> int:
             state, metrics = trainer.step(state, batch)
         if step % args.log_every == 0 or step == 1:
             m = {k: float(v) for k, v in metrics.items()}
-            m.update(step=step, sps=round(step / (time.time() - t0), 3))
+            m.update(step=step, sps=round((step - start_step) / (time.time() - t0), 3))
             print(json.dumps(m))
         if step % args.save_every == 0 or step == args.steps:
+            trainer.save_state(state_path, state)
             path = os.path.join(args.out, f"step_{step:07d}")
             save_native(os.path.abspath(path), jax.device_get(state.params))
-            print(f"saved {path}")
+            print(f"saved {path} (+ resumable state_latest)")
     return 0
 
 

@@ -101,6 +101,49 @@ class Trainer:
             state = TrainState(params, self.tx.init(params), state.step)
         return state
 
+    # -- checkpoint / resume ------------------------------------------------
+
+    def save_state(self, path: str, state: TrainState) -> None:
+        """Persist the full train state (params + optimizer state + step)
+        for resumable training (net-new vs the load-only reference,
+        SURVEY.md §5)."""
+        import os
+
+        import jax
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            os.path.abspath(path),
+            {
+                "params": jax.device_get(state.params),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": jax.device_get(state.step),
+            },
+            force=True,
+        )
+        ckptr.wait_until_finished()
+
+    def restore_state(self, path: str, params_template) -> TrainState:
+        """Restore a ``save_state`` checkpoint; ``params_template`` provides
+        the pytree structure/dtypes (typed restore, no topology guessing)."""
+        import os
+
+        import jax
+        import orbax.checkpoint as ocp
+
+        template = {
+            "params": params_template,
+            "opt_state": self.tx.init(params_template),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype), template
+        )
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path), abstract)
+        return TrainState(restored["params"], restored["opt_state"], restored["step"])
+
     @functools.cached_property
     def step(self):
         module = self.module
