@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_orig", action="store_true")
     p.add_argument("--save_vis", action="store_true")
     p.add_argument("--save_stats", action="store_true")
+    p.add_argument("--shape_bucket", type=int, default=None,
+                   help="snap model resolution to multiples of this (x14) to bound recompiles")
     # parallelism
     p.add_argument("--data_parallel", action="store_true",
                    help="shard frame windows over all local devices")
@@ -95,13 +97,17 @@ def main(argv=None) -> int:
         )
         depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
     else:
-        pipe = VideoDepthPipeline(model, input_size=args.input_size)
+        pipe = VideoDepthPipeline(
+            model, input_size=args.input_size, shape_bucket=args.shape_bucket
+        )
         if args.data_parallel:
             from video_depth_anything_tpu.parallel.data_parallel import (
                 DataParallelVideoDepthPipeline,
             )
 
-            pipe = DataParallelVideoDepthPipeline(model, input_size=args.input_size)
+            pipe = DataParallelVideoDepthPipeline(
+                model, input_size=args.input_size, shape_bucket=args.shape_bucket
+            )
         depths, fps = pipe.infer_video_depth(
             frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True
         )

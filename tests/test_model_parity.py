@@ -76,3 +76,18 @@ def test_forward_parity_skip_tmp_block(oracle, rng):
     x = rng.randn(1, 2, 3, 56, 56).astype(np.float32)
     got, want = _run_both(oracle, x, skip_tmp_block=True)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_bf16_path_within_accuracy_budget(oracle, rng):
+    """bf16 compute with fp32 islands must stay well inside the <1% AbsRel
+    deviation budget vs the fp32 path (BASELINE.md target)."""
+    _, cfg, params = oracle
+    module = VideoDepthAnything(cfg)
+    x = rng.randn(1, 2, 56, 56, 3).astype(np.float32)
+    f = jax.jit(lambda p, xx: module.apply({"params": p}, xx))
+    d32 = np.asarray(f(params, jnp.asarray(x)), dtype=np.float32)
+    d16 = np.asarray(
+        f(params, jnp.asarray(x, dtype=jnp.bfloat16)), dtype=np.float32
+    )
+    rel = np.abs(d16 - d32).mean() / (np.abs(d32).mean() + 1e-8)
+    assert rel < 0.01, f"bf16 deviation {rel:.4f} exceeds 1%"

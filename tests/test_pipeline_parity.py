@@ -80,3 +80,31 @@ def test_full_pipeline_parity():
     assert got.shape == want.shape == video.shape[:3]
     scale = np.abs(want).mean() + 1e-6
     np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=2e-3)
+
+
+def test_shape_bucketing_bounds_shapes():
+    from video_depth_anything_tpu.utils.transform import bucket_model_size, model_size_for
+
+    shapes = set()
+    exact = set()
+    for h, w in [(360, 640), (368, 640), (376, 654), (480, 854), (486, 864)]:
+        exact.add(model_size_for(h, w, 518))
+        shapes.add(bucket_model_size(h, w, 518, 56))
+    assert len(shapes) < len(exact)
+    for bh, bw in shapes:
+        assert bh % 14 == 0 and bw % 14 == 0
+
+
+def test_pipeline_with_bucketing_runs(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
+    from video_depth_anything_tpu.models.vda import VDAModel
+
+    model = VDAModel("vits", dtype=jnp.float32)
+    model.init_params(jax.random.PRNGKey(0))
+    video = (rng.rand(8, 50, 62, 3) * 255).astype(np.uint8)
+    pipe = VideoDepthPipeline(model, input_size=56, shape_bucket=28)
+    depth, _ = pipe.infer_video_depth(video)
+    assert depth.shape == video.shape[:3]

@@ -102,6 +102,14 @@ _MODEL_CONFIGS = {
         out_channels=(256, 512, 1024, 1024),
         intermediate_layer_idx=(4, 11, 17, 23),
     ),
+    # vitg: encoder architecture exists in the reference (dinov2.py:381-395,
+    # SwiGLU FFN) but no released video checkpoint; head widths and layer
+    # taps follow the DepthAnything-V2 giant conventions.
+    "vitg": dict(
+        features=384,
+        out_channels=(1536, 1536, 1536, 1536),
+        intermediate_layer_idx=(9, 19, 29, 39),
+    ),
 }
 
 

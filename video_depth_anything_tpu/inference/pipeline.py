@@ -103,11 +103,23 @@ def stitch_windows(window_depths: List[np.ndarray], org_len: int) -> np.ndarray:
 
 
 class VideoDepthPipeline:
-    """End-to-end long-video inference around a ``VDAModel``."""
+    """End-to-end long-video inference around a ``VDAModel``.
 
-    def __init__(self, model, input_size: int = 518):
+    ``shape_bucket``: snap the model resolution to multiples of this many
+    pixels (must be a multiple of 14) to bound recompiles across videos of
+    different aspect ratios; ``None`` keeps exact reference sizing."""
+
+    def __init__(self, model, input_size: int = 518, shape_bucket=None):
         self.model = model
         self.input_size = input_size
+        self.shape_bucket = shape_bucket
+
+    def _target_hw(self, fh: int, fw: int):
+        if self.shape_bucket is None:
+            return None
+        from video_depth_anything_tpu.utils.transform import bucket_model_size
+
+        return bucket_model_size(fh, fw, self.input_size, self.shape_bucket)
 
     @functools.cached_property
     def _window_fn(self):
@@ -138,7 +150,7 @@ class VideoDepthPipeline:
         pad_len = padded_length(org_len)
         idx = window_frame_indices(org_len)
 
-        pre = preprocess_frames(frames, self.input_size)
+        pre = preprocess_frames(frames, self.input_size, self._target_hw(fh, fw))
         if pad_len > org_len:
             pre = np.concatenate(
                 [pre, np.repeat(pre[-1:], pad_len - org_len, axis=0)], axis=0

@@ -97,16 +97,29 @@ def convert_torch_state_dict(
                     "bias": take(f"{t}.attn.proj.bias"),
                 },
             },
-            "mlp": {
-                "fc1": {
-                    "kernel": _linear(take(f"{t}.mlp.fc1.weight")),
-                    "bias": take(f"{t}.mlp.fc1.bias"),
-                },
-                "fc2": {
-                    "kernel": _linear(take(f"{t}.mlp.fc2.weight")),
-                    "bias": take(f"{t}.mlp.fc2.bias"),
-                },
-            },
+            "mlp": (
+                {
+                    "w12": {
+                        "kernel": _linear(take(f"{t}.mlp.w12.weight")),
+                        "bias": take(f"{t}.mlp.w12.bias"),
+                    },
+                    "w3": {
+                        "kernel": _linear(take(f"{t}.mlp.w3.weight")),
+                        "bias": take(f"{t}.mlp.w3.bias"),
+                    },
+                }
+                if cfg.vit.ffn_layer == "swiglufused"
+                else {
+                    "fc1": {
+                        "kernel": _linear(take(f"{t}.mlp.fc1.weight")),
+                        "bias": take(f"{t}.mlp.fc1.bias"),
+                    },
+                    "fc2": {
+                        "kernel": _linear(take(f"{t}.mlp.fc2.weight")),
+                        "bias": take(f"{t}.mlp.fc2.bias"),
+                    },
+                }
+            ),
         }
 
     # ---- DPT head ----------------------------------------------------------
@@ -280,10 +293,16 @@ def export_torch_state_dict(params, cfg: ModelConfig) -> Dict[str, np.ndarray]:
         out[f"{t}.attn.qkv.bias"] = g(b, "attn", "qkv", "bias")
         out[f"{t}.attn.proj.weight"] = _linear(g(b, "attn", "proj", "kernel"))
         out[f"{t}.attn.proj.bias"] = g(b, "attn", "proj", "bias")
-        out[f"{t}.mlp.fc1.weight"] = _linear(g(b, "mlp", "fc1", "kernel"))
-        out[f"{t}.mlp.fc1.bias"] = g(b, "mlp", "fc1", "bias")
-        out[f"{t}.mlp.fc2.weight"] = _linear(g(b, "mlp", "fc2", "kernel"))
-        out[f"{t}.mlp.fc2.bias"] = g(b, "mlp", "fc2", "bias")
+        if cfg.vit.ffn_layer == "swiglufused":
+            out[f"{t}.mlp.w12.weight"] = _linear(g(b, "mlp", "w12", "kernel"))
+            out[f"{t}.mlp.w12.bias"] = g(b, "mlp", "w12", "bias")
+            out[f"{t}.mlp.w3.weight"] = _linear(g(b, "mlp", "w3", "kernel"))
+            out[f"{t}.mlp.w3.bias"] = g(b, "mlp", "w3", "bias")
+        else:
+            out[f"{t}.mlp.fc1.weight"] = _linear(g(b, "mlp", "fc1", "kernel"))
+            out[f"{t}.mlp.fc1.bias"] = g(b, "mlp", "fc1", "bias")
+            out[f"{t}.mlp.fc2.weight"] = _linear(g(b, "mlp", "fc2", "kernel"))
+            out[f"{t}.mlp.fc2.bias"] = g(b, "mlp", "fc2", "bias")
 
     head = params["head"]
     for i in range(4):

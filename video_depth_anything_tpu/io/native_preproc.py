@@ -66,7 +66,7 @@ def available() -> bool:
 
 
 def preprocess_frames_native(
-    frames: np.ndarray, input_size: int = 518
+    frames: np.ndarray, input_size: int = 518, target_hw=None
 ) -> Optional[np.ndarray]:
     """uint8 RGB ``(N, H, W, 3)`` → normalized float32 ``(N, h, w, 3)``;
     ``None`` when the native library is unavailable."""
@@ -75,7 +75,7 @@ def preprocess_frames_native(
         return None
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
     n, h, w, _ = frames.shape
-    dh, dw = model_size_for(h, w, input_size)
+    dh, dw = target_hw or model_size_for(h, w, input_size)
     out = np.empty((n, dh, dw, 3), dtype=np.float32)
     mean = np.ascontiguousarray(IMAGENET_MEAN, dtype=np.float32)
     std = np.ascontiguousarray(IMAGENET_STD, dtype=np.float32)

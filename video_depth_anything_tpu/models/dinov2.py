@@ -34,8 +34,11 @@ from video_depth_anything_tpu.ops.resize import bicubic_pos_embed_resize
 
 
 def _gelu(x: jnp.ndarray) -> jnp.ndarray:
-    # torch nn.GELU default is the exact erf form, not tanh-approximate.
-    return nn.gelu(x, approximate=False)
+    # torch nn.GELU default is the exact erf form — used for fp32 parity.
+    # In bf16 the tanh approximation halves VPU cost (13.6 → 7.2 ms on the
+    # (175k, 4096) MLP tile, docs/PERFORMANCE.md) and its ~1e-3 relative
+    # deviation is far inside the bf16 rounding budget.
+    return nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
 
 
 class Attention(nn.Module):
@@ -70,6 +73,21 @@ class Mlp(nn.Module):
         return nn.Dense(self.dim, name="fc2", dtype=x.dtype)(x)
 
 
+class SwiGLU(nn.Module):
+    """SwiGLU FFN used by vitg (ref ``dinov2_layers/swiglu_ffn.py:13-63``):
+    hidden = ((4·D·2/3) + 7) // 8 * 8, ``silu(x1)·x2`` gating."""
+
+    dim: int
+    hidden: int  # pre-adjustment width (dim * mlp_ratio)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = (int(self.hidden * 2 / 3) + 7) // 8 * 8
+        x12 = nn.Dense(2 * hidden, name="w12", dtype=x.dtype)(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(self.dim, name="w3", dtype=x.dtype)(nn.silu(x1) * x2)
+
+
 class Block(nn.Module):
     """Pre-norm ViT block with LayerScale (ref ``dinov2_layers/block.py:36-107``)."""
 
@@ -85,7 +103,8 @@ class Block(nn.Module):
         h = Attention(cfg.embed_dim, cfg.num_heads, self.attn_impl, name="attn")(h)
         x = x + h * ls1.astype(x.dtype)
         h = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm2", dtype=x.dtype)(x)
-        h = Mlp(cfg.embed_dim, int(cfg.embed_dim * cfg.mlp_ratio), name="mlp")(h)
+        ffn = SwiGLU if cfg.ffn_layer == "swiglufused" else Mlp
+        h = ffn(cfg.embed_dim, int(cfg.embed_dim * cfg.mlp_ratio), name="mlp")(h)
         return x + h * ls2.astype(x.dtype)
 
 

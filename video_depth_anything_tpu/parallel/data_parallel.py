@@ -35,8 +35,8 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
     """Same contract as ``VideoDepthPipeline`` with windows sharded over all
     devices of a ``('data', 'model')`` mesh (model=1 by default)."""
 
-    def __init__(self, model, input_size: int = 518, mesh=None):
-        super().__init__(model, input_size)
+    def __init__(self, model, input_size: int = 518, mesh=None, shape_bucket=None):
+        super().__init__(model, input_size, shape_bucket)
         self.mesh = mesh if mesh is not None else create_mesh()
 
     @functools.cached_property
@@ -74,7 +74,7 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
         n_win = idx.shape[0]
         n_data = self.mesh.shape["data"]
 
-        pre = preprocess_frames(frames, self.input_size)
+        pre = preprocess_frames(frames, self.input_size, self._target_hw(fh, fw))
         if pad_len > org_len:
             pre = np.concatenate(
                 [pre, np.repeat(pre[-1:], pad_len - org_len, axis=0)], axis=0

@@ -48,9 +48,29 @@ def model_size_for(height: int, width: int, input_size: int = 518) -> Tuple[int,
     return new_h, new_w
 
 
-def preprocess_frames(frames: np.ndarray, input_size: int = 518) -> np.ndarray:
+def bucket_model_size(
+    height: int, width: int, input_size: int = 518, bucket: int = 56
+) -> Tuple[int, int]:
+    """Snap the model resolution to multiples of ``bucket`` (itself a
+    multiple of 14) to bound jit recompiles across videos of many aspect
+    ratios (SURVEY.md §7 hard part 3).  Rounds to nearest, so the aspect
+    distortion is at most ``bucket/2`` pixels per axis (~±3.8% at 56/518);
+    opt-in (``run.py --shape_bucket``) since it deviates from the
+    reference's exact multiple-of-14 sizing."""
+    if bucket % 14:
+        raise ValueError("bucket must be a multiple of the 14-pixel patch")
+    h, w = model_size_for(height, width, input_size)
+    bh = max(bucket, int(np.round(h / bucket) * bucket))
+    bw = max(bucket, int(np.round(w / bucket) * bucket))
+    return bh, bw
+
+
+def preprocess_frames(
+    frames: np.ndarray, input_size: int = 518, target_hw: "Tuple[int, int] | None" = None
+) -> np.ndarray:
     """uint8 RGB ``(N, H, W, 3)`` → normalized float32 ``(N, h, w, 3)``
-    ready for the model (h, w multiples of 14).
+    ready for the model (h, w multiples of 14).  ``target_hw`` overrides the
+    reference sizing (used by shape bucketing).
 
     Dispatches to the native C++ library (fused threaded resize+normalize,
     ``native/preproc.cpp``) unless ``VDA_NATIVE_PREPROC=0``; the cv2 path
@@ -63,11 +83,11 @@ def preprocess_frames(frames: np.ndarray, input_size: int = 518) -> np.ndarray:
             preprocess_frames_native,
         )
 
-        out = preprocess_frames_native(frames, input_size)
+        out = preprocess_frames_native(frames, input_size, target_hw)
         if out is not None:
             return out
     n, h, w, _ = frames.shape
-    new_h, new_w = model_size_for(h, w, input_size)
+    new_h, new_w = target_hw or model_size_for(h, w, input_size)
     out = np.empty((n, new_h, new_w, 3), dtype=np.float32)
     for i in range(n):
         img = frames[i].astype(np.float32) / 255.0
