@@ -165,11 +165,16 @@ def spatial_flash_attention(
     b, n, h, d = q.shape
     # whole-row kv while the fp32 score tile stays comfortably inside VMEM;
     # stream kv in 512-blocks beyond that.  n_pad must be a multiple of
-    # block_q (rows) and block_k (columns).
+    # block_q (rows) and block_k (columns); minimizing n_pad matters because
+    # the VPU-bound softmax cost scales with padded columns (1536→1408 pad
+    # at N=1370 measured ~6% faster).
     if _round_up(n, 128) <= 2048:
-        block_q = min(512, _round_up(n, 128))
-        n_pad = _round_up(n, block_q)
+        n_pad = _round_up(n, 128)
         block_k = n_pad
+        # largest row block ≤768 (sublane-aligned) that divides n_pad
+        block_q = max(
+            bq for bq in range(8, min(n_pad, 768) + 1, 8) if n_pad % bq == 0
+        )
     else:
         block_q, block_k = 512, 512
         n_pad = _round_up(n, 512)
