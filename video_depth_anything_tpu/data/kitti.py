@@ -49,8 +49,9 @@ class KITTI(SceneDepthDataset):
     max_depth = 255.9
     min_depth = 0.0
 
-    def __init__(self, root: str, is_val: bool = False, cameras=("image_03", "image_02")):
+    def __init__(self, root: str, is_val: bool = False, cameras=("image_03", "image_02"), verbose: bool = False):
         super().__init__(root)
+        self.verbose = verbose
         mode = "val" if is_val else "train"
         depth_root = os.path.join(root, "kitti_depth", "data_depth_annotated", mode)
         if not os.path.isdir(depth_root):
@@ -84,6 +85,10 @@ class KITTI(SceneDepthDataset):
         images, depths = [], []
         for depth_path in paths["depth"]:
             idx_img = self.extract_index(depth_path)
+            if self.verbose:
+                # opt-in image/depth index agreement check (ref Kitti.py:234-237)
+                assert self.extract_index(paths["image"][idx_img]) == idx_img, (
+                    paths["image"][idx_img], depth_path)
             images.append(imread_rgb01(paths["image"][idx_img]))
             raw = cv2.imread(depth_path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
             depths.append(raw.astype(np.float32) / 256.0)

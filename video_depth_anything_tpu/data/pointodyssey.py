@@ -21,8 +21,9 @@ class PointOdyssey(SceneDepthDataset):
     max_depth = 1_000.0
     min_depth = 0.0
 
-    def __init__(self, root: str, split: str = "train"):
+    def __init__(self, root: str, split: str = "train", verbose: bool = False):
         super().__init__(root)
+        self.verbose = verbose
         base = os.path.join(root, split)
         scenes = natsorted(e.name for e in os.scandir(base) if e.is_dir())
         for scene in scenes:
@@ -38,6 +39,9 @@ class PointOdyssey(SceneDepthDataset):
     def _load_scene(self, paths: Dict) -> Dict:
         images, depths, idx_list = [], [], []
         for img_path, depth_path in zip(paths["image"], paths["depth"]):
+            if self.verbose:
+                assert self.extract_index(img_path) == self.extract_index(depth_path), (
+                    img_path, depth_path)
             images.append(imread_rgb01(img_path))
             idx_list.append(self.extract_index(img_path))
             raw = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED).astype(np.float32)

@@ -53,8 +53,9 @@ class VKITTI(SceneDepthDataset):
     max_depth = 655.35
     min_depth = 0.0
 
-    def __init__(self, root: str, cameras=("0", "1")):
+    def __init__(self, root: str, cameras=("0", "1"), verbose: bool = False):
         super().__init__(root)
+        self.verbose = verbose
         scene_dirs = []
         for scene in os.scandir(root):
             if scene.is_dir() and "Scene" in scene.name:
@@ -81,6 +82,9 @@ class VKITTI(SceneDepthDataset):
     def _load_scene(self, paths: Dict) -> Dict:
         images, depths, idx_list = [], [], []
         for img_path, depth_path in zip(paths["image"], paths["depth"]):
+            if self.verbose:
+                assert self.extract_index(img_path) == self.extract_index(depth_path), (
+                    img_path, depth_path)
             images.append(imread_rgb01(img_path))
             idx_list.append(self.extract_index(img_path))
             raw = cv2.imread(depth_path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
