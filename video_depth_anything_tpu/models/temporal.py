@@ -6,10 +6,10 @@ motion_module.py:32-207``, ``motion_module/attention.py:30-429``), designed
 for the TPU's actual workload shape: self-attention along the 32-frame axis
 *independently per spatial location*.  In the reference this is a rearrange
 ``(b f) d c -> (b d) f c`` followed by xformers attention over a huge batch
-of tiny sequences (``motion_module.py:253``).  Here the frame axis is kept as
-a leading tensor axis ``(B, HW, T, C)`` and attention is dense batched GEMMs
-with fp32 softmax (``ops.attention``) — at seq = 32 the full 32×32 score
-tile lives in registers/VMEM and XLA fuses QK^T → softmax → PV.
+of tiny sequences (``motion_module.py:253``).  Here the features keep their
+natural ``(B, T, H·W, C)`` layout end-to-end (no transposes) and attention
+is a pair of einsums contracting over the frame axis with fp32 softmax —
+at seq = 32 the 32×32 score tiles fuse in VMEM; a flash kernel buys nothing.
 
 Structure per module (checkpoint-compatible):
   GroupNorm(32) → proj_in → [N_block ×: 2 × (LN → +APE → attn → residual),
@@ -21,12 +21,12 @@ from __future__ import annotations
 import numpy as np
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from video_depth_anything_tpu.config import MotionModuleConfig
 from video_depth_anything_tpu.models.dinov2 import _gelu
 from video_depth_anything_tpu.models.layers import DTypeDense, GroupNorm
-from video_depth_anything_tpu.ops.attention import multi_head_attention
 
 
 def sinusoidal_position_table(max_len: int, dim: int) -> np.ndarray:
@@ -67,7 +67,12 @@ def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarr
 
 
 class TemporalSelfAttention(nn.Module):
-    """One attention block over the frame axis of ``(B, S, T, C)``.
+    """One attention block over the frame axis of ``(B, T, S, C)``.
+
+    The frame axis stays at position 1 (the natural feature-map layout) and
+    the attention einsums contract over it directly — the earlier
+    ``(B, S, T, C)`` formulation paid two 90 MB transposes per module at the
+    vitl path_3 shape (docs/PERFORMANCE.md).
 
     Besides the full-window ``__call__`` this exposes the KV-cache step
     (``kv_step``) — the working equivalent of the reference's experimental
@@ -90,69 +95,72 @@ class TemporalSelfAttention(nn.Module):
     def _pos(self, x: jnp.ndarray, t: int) -> jnp.ndarray:
         if self.cfg.pos_embedding_type == "ape":
             pe = sinusoidal_position_table(self.cfg.temporal_max_len, self.dim)[:t]
-            return x + jnp.asarray(pe, dtype=x.dtype)
+            return x + jnp.asarray(pe[:, None, :], dtype=x.dtype)
         return x
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cfg = self.cfg
-        heads = cfg.num_heads
-        head_dim = self.dim // heads
-        b, s, t, c = x.shape
-
-        x = self._pos(x, t)
+    def _qkv(self, x: jnp.ndarray, t: int):
         q = self.to_q(x)
         k = self.to_k(x)
         v = self.to_v(x)
-
-        if cfg.pos_embedding_type == "rope":
-            cos, sin = rope_tables(cfg.temporal_max_len, self.dim)
-            cos, sin = jnp.asarray(cos[:t]), jnp.asarray(sin[:t])
+        if self.cfg.pos_embedding_type == "rope":
+            cos, sin = rope_tables(self.cfg.temporal_max_len, self.dim)
+            cos = jnp.asarray(cos[:t, None, :])
+            sin = jnp.asarray(sin[:t, None, :])
             q = _apply_rope(q, cos, sin)
             k = _apply_rope(k, cos, sin)
+        return q, k, v
 
-        q = q.reshape(b, s, t, heads, head_dim)
-        k = k.reshape(b, s, t, heads, head_dim)
-        v = v.reshape(b, s, t, heads, head_dim)
-        out = multi_head_attention(q, k, v, impl=self.attn_impl)
-        out = out.reshape(b, s, t, c)
-        return self.to_out(out)
+    def _attend(self, q, k, v, b, s, c):
+        heads = self.cfg.num_heads
+        head_dim = self.dim // heads
+        q5 = q.reshape(b, q.shape[1], s, heads, head_dim)
+        k5 = k.reshape(b, k.shape[1], s, heads, head_dim)
+        v5 = v.reshape(b, v.shape[1], s, heads, head_dim)
+        scores = jnp.einsum(
+            "bqshd,bkshd->bshqk", q5, k5, preferred_element_type=jnp.float32
+        ) * jnp.float32(head_dim**-0.5)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum(
+            "bshqk,bkshd->bqshd", probs, v5, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+        return self.to_out(out.reshape(b, q.shape[1], s, c))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, s, c = x.shape
+        x = self._pos(x, t)
+        q, k, v = self._qkv(x, t)
+        return self._attend(q, k, v, b, s, c)
 
     def kv_step(self, x_new: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray):
         """Single-frame step against a K/V ring cache.
 
-        ``x_new (B, S, 1, C)`` is the pre-normed hidden of the newest frame;
-        ``k_cache, v_cache (B, S, T, C)`` hold the previous frames' projected
+        ``x_new (B, 1, S, C)`` is the pre-normed hidden of the newest frame;
+        ``k_cache, v_cache (B, T, S, C)`` hold the previous frames' projected
         keys/values.  The new frame takes the *last* APE slot (the cache is
         ordered oldest→newest), attends over ``cache ∪ new``, and the caches
         are shifted left by one with the new projections appended.
-        Returns ``(out (B, S, 1, C), k_cache', v_cache')``.
+        Returns ``(out (B, 1, S, C), k_cache', v_cache')``.
         """
         cfg = self.cfg
-        heads = cfg.num_heads
-        head_dim = self.dim // heads
-        b, s, _, c = x_new.shape
-        t_cache = k_cache.shape[2]
+        b, _, s, c = x_new.shape
+        t_cache = k_cache.shape[1]
 
         pe = sinusoidal_position_table(cfg.temporal_max_len, self.dim)
         if cfg.pos_embedding_type == "ape":
-            x_pos = x_new + jnp.asarray(pe[min(t_cache, cfg.temporal_max_len - 1)], x_new.dtype)
+            x_pos = x_new + jnp.asarray(
+                pe[min(t_cache, cfg.temporal_max_len - 1)], x_new.dtype
+            )
         else:
             x_pos = x_new
         q = self.to_q(x_pos)
         k_new = self.to_k(x_pos)
         v_new = self.to_v(x_pos)
 
-        k_all = jnp.concatenate([k_cache, k_new], axis=2)
-        v_all = jnp.concatenate([v_cache, v_new], axis=2)
-        q = q.reshape(b, s, 1, heads, head_dim)
-        out = multi_head_attention(
-            q,
-            k_all.reshape(b, s, t_cache + 1, heads, head_dim),
-            v_all.reshape(b, s, t_cache + 1, heads, head_dim),
-            impl=self.attn_impl,
-        ).reshape(b, s, 1, c)
+        k_all = jnp.concatenate([k_cache, k_new], axis=1)
+        v_all = jnp.concatenate([v_cache, v_new], axis=1)
+        out = self._attend(q, k_all, v_all, b, s, c)
         # sliding-window eviction: drop the oldest cached frame
-        return self.to_out(out), k_all[:, :, 1:], v_all[:, :, 1:]
+        return out, k_all[:, 1:], v_all[:, 1:]
 
 
 class GEGLUFeedForward(nn.Module):
@@ -206,13 +214,14 @@ class TemporalModule(nn.Module):
         residual = x
         y = GroupNorm(cfg.norm_num_groups, cfg.group_norm_eps, name="norm")(x)
         y = nn.Dense(inner, name="proj_in", dtype=x.dtype)(y)
-        # (B, T, H, W, C) -> (B, H*W, T, C): frame axis becomes the sequence.
-        y = y.reshape(b, t, h * w, inner).transpose(0, 2, 1, 3)
+        # (B, T, H, W, C) -> (B, T, H*W, C): transpose-free; the attention
+        # einsums contract over the frame axis in place.
+        y = y.reshape(b, t, h * w, inner)
         for i in range(cfg.num_transformer_blocks):
             y = TemporalTransformerBlock(
                 cfg, inner, self.attn_impl, name=f"block_{i}"
             )(y)
-        y = y.transpose(0, 2, 1, 3).reshape(b, t, h, w, inner)
+        y = y.reshape(b, t, h, w, inner)
         # proj_out is zero-initialised (ref motion_module.py:25-29,61-62), so
         # a freshly initialised module is the identity.
         y = nn.Dense(
