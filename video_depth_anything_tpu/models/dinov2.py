@@ -53,8 +53,13 @@ class Attention(nn.Module):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, name="qkv", dtype=x.dtype)(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # contiguous last-axis split (cheap) — NOT the torch (3, H, D)
+        # interleave, so the converter's fused-qkv weight stays the torch
+        # row order [q; k; v] and slicing here matches it exactly
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, self.num_heads, head_dim)
+        k = k.reshape(b, n, self.num_heads, head_dim)
+        v = v.reshape(b, n, self.num_heads, head_dim)
         out = multi_head_attention(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, n, c)
         return nn.Dense(self.dim, name="proj", dtype=x.dtype)(out)
