@@ -111,11 +111,6 @@ class StreamingDepthPipeline:
                 "crash in the reference as well); use keyframes > 0, e.g. "
                 "keyframe_list=(12,)"
             )
-        # cache shift map: drop slot 1, keep anchor slot 0
-        # (ref video_depth.py:150,288-296)
-        self.move_idx = np.asarray(
-            [i for i in range(self.cache_len) if i != 1], dtype=np.int64
-        )
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -182,6 +177,11 @@ class StreamingDepthPipeline:
         cache: Optional[List[jnp.ndarray]] = None
         depth_list: List[np.ndarray] = []
         old_keyframes_started = False
+        # Virtual→physical slot map: the reference shifts the whole cache
+        # every steady step (video_depth.py:288-296, a full-buffer rewrite of
+        # all 4 levels); here the shift is a host-side index permutation and
+        # the device only writes the one new frame into the freed slot.
+        phys = list(range(self.cache_len))
 
         it = range(org_len)
         if progress:
@@ -233,6 +233,7 @@ class StreamingDepthPipeline:
                             # (ref video_depth.py:263-269)
                             abs_pred_idx.append(v + (i - (L + max_kf)) + 1)
 
+            use_idx = np.asarray([phys[v] for v in use_idx], dtype=np.int64)
             gathered = tuple(c[jnp.asarray(use_idx)] for c in cache)
             pred_idx_arr = (
                 None
@@ -252,16 +253,18 @@ class StreamingDepthPipeline:
                 depth = self._resize_fn(depth, fh, fw)
             depth = np.asarray(depth, dtype=np.float32)
 
-            # cache update (ref video_depth.py:278-296)
+            # cache update (semantics of ref video_depth.py:278-296, but the
+            # shift is the virtual-slot permutation — drop virtual slot 1,
+            # keep the anchor, append the new frame in the freed physical slot)
             if i < self.cache_len:
                 cache = [
                     c.at[i].set(f[0]) for c, f in zip(cache, new_feats)
                 ]
             else:
-                mv = jnp.asarray(self.move_idx)
+                freed = phys[1]
+                phys = [phys[0]] + phys[2:] + [freed]
                 cache = [
-                    c.at[:-1].set(c[mv]).at[-1].set(f[0])
-                    for c, f in zip(cache, new_feats)
+                    c.at[freed].set(f[0]) for c, f in zip(cache, new_feats)
                 ]
 
             # depth bookkeeping / alignment (ref video_depth.py:301-319)
