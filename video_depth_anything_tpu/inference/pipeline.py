@@ -162,12 +162,19 @@ class VideoDepthPipeline:
 
             it = tqdm(it, desc="windows")
 
+        # one-window lag between dispatch and D2H so the (large) depth
+        # transfer of window w overlaps the compute of window w+1 — the
+        # device executes in order, transfers run alongside
         window_depths: List[np.ndarray] = []
+        pending = None
         for w in it:
             x = jnp.asarray(pre[idx[w]][None], dtype=self.model.dtype)
             d = self._window_fn(
                 self.model.params, x, fh, fw, skip_tmp_block=skip_tmp_block
             )
-            window_depths.append(np.asarray(d))
+            if pending is not None:
+                window_depths.append(np.asarray(pending))
+            pending = d
+        window_depths.append(np.asarray(pending))
 
         return stitch_windows(window_depths, org_len), target_fps
