@@ -164,7 +164,11 @@ class VideoDepthPipeline:
 
         # one-window lag between dispatch and D2H so the (large) depth
         # transfer of window w overlaps the compute of window w+1 — the
-        # device executes in order, transfers run alongside
+        # device executes in order, transfers run alongside.  The lag keeps
+        # one extra (T, fh, fw) fp32 buffer alive on-device, so it is
+        # disabled for very large frames (≥512 MB per window) to avoid
+        # raising peak HBM past what the synchronous path needed.
+        overlap_d2h = INFER_LEN * fh * fw * 4 < 512 * 2**20
         window_depths: List[np.ndarray] = []
         pending = None
         for w in it:
@@ -172,9 +176,13 @@ class VideoDepthPipeline:
             d = self._window_fn(
                 self.model.params, x, fh, fw, skip_tmp_block=skip_tmp_block
             )
+            if not overlap_d2h:
+                window_depths.append(np.asarray(d))
+                continue
             if pending is not None:
                 window_depths.append(np.asarray(pending))
             pending = d
-        window_depths.append(np.asarray(pending))
+        if pending is not None:
+            window_depths.append(np.asarray(pending))
 
         return stitch_windows(window_depths, org_len), target_fps
