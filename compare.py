@@ -92,12 +92,16 @@ def main(argv=None) -> int:
     aligned, rows = {}, {}
     for name, pred in methods.items():
         n = min(len(pred), len(ref))
-        a = first_frame_align(pred[:n], ref[:n])
+        # a method with fewer frames (e.g. streaming) outputs the video's
+        # LAST n frames — align and score against the reference tail so the
+        # frame pairing is temporally consistent
+        ref_n = ref[len(ref) - n :]
+        a = first_frame_align(pred[len(pred) - n :], ref_n)
         aligned[name] = a
         rows[name] = {
             "frames": int(n),
-            "abs_vs_ref": abs_diff(a, ref[-n:] if len(ref) != n else ref[:n]),
-            "mse_vs_ref": mse(a, ref[-n:] if len(ref) != n else ref[:n]),
+            "abs_vs_ref": abs_diff(a, ref_n),
+            "mse_vs_ref": mse(a, ref_n),
         }
 
     report = os.path.join(args.out_dir, "comparison.json")

@@ -283,3 +283,32 @@ def test_clip_sampler(tmp_path):
     assert batch["frames"].shape[2] % 14 == 0
     assert batch["disparity"].shape == batch["mask"].shape
     assert (batch["disparity"] > 0).all()
+
+
+def test_clip_sampler_mixed_shapes_and_short_scenes():
+    """Clips from scenes of different resolutions and lengths must stack."""
+    from video_depth_anything_tpu.data.clips import ClipSampler
+
+    class DS:
+        def __init__(self, n, h, w):
+            self.n, self.h, self.w = n, h, w
+            self.max_depth = 50.0
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(self.h)
+            gt = rng.rand(self.n, self.h, self.w).astype(np.float32) * 10 + 1
+            return {
+                "image": rng.rand(self.n, self.h, self.w, 3).astype(np.float32),
+                "depth": gt,
+                "valid_depth": np.ones_like(gt, dtype=bool),
+            }
+
+    sampler = ClipSampler(
+        [DS(2, 20, 30), DS(9, 36, 24)], clip_len=4, batch_size=4, input_size=28
+    )
+    batch = next(iter(sampler))
+    assert batch["frames"].shape == (4, 4, 28, 28, 3)
+    assert batch["disparity"].shape == (4, 4, 28, 28)

@@ -160,3 +160,22 @@ def test_evaluate_dataset_end_to_end(tmp_path):
     assert res["scenes"] == 2
     assert res["mean_absrel"] < 1e-3
     assert "Overall Mean" in open(res["csv"]).read()
+
+
+def test_tae_single_frame_and_varying_intrinsics():
+    # single frame: defined as 0, no ZeroDivisionError
+    d = np.full((1, 8, 10), 5.0, np.float32)
+    k = np.tile(np.eye(3) * 10, (1, 1, 1))
+    assert temporal_alignment_error(d, k, np.tile(np.eye(4), (1, 1, 1))) == 0.0
+    # static scene, static camera, but K changes between frames (zoom):
+    # with per-frame dst intrinsics the reprojection must use frame t+1's K
+    t_len, h, w = 2, 32, 40
+    depths = np.full((t_len, h, w), 8.0, np.float32)
+    ks = np.stack([
+        np.array([[20.0, 0, 20], [0, 20.0, 16], [0, 0, 1]]),
+        np.array([[28.0, 0, 20], [0, 28.0, 16], [0, 0, 1]]),
+    ])
+    extr = np.tile(np.eye(4), (t_len, 1, 1))
+    tae = temporal_alignment_error(depths, ks, extr)
+    # constant-depth plane: wherever points land, depth agrees -> 0
+    assert tae < 1e-6

@@ -45,16 +45,21 @@ class ClipSampler:
         n = len(frames)
         t = min(self.clip_len, n)
         start = self.rng.randint(0, max(1, n - t + 1))
-        sl = slice(start, start + t)
+        # fixed-length clips: repeat the last frame when the scene is short,
+        # so every clip in a batch stacks to the same T
+        ids = np.minimum(np.arange(start, start + self.clip_len), start + t - 1)
 
-        rgb = frames[sl]
+        rgb = frames[ids]
         if rgb.dtype != np.uint8:
             rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
-        x = preprocess_frames(rgb, self.input_size)
+        # square model resolution regardless of scene aspect ratio, so clips
+        # from datasets of different resolutions batch together
+        side = round(self.input_size / 14) * 14
+        x = preprocess_frames(rgb, self.input_size, target_hw=(side, side))
         h, w = x.shape[1:3]
 
-        depth = np.asarray(scene["depth"][sl], np.float32)
-        valid = np.asarray(scene["valid_depth"][sl]).astype(np.float32)
+        depth = np.asarray(scene["depth"][ids], np.float32)
+        valid = np.asarray(scene["valid_depth"][ids]).astype(np.float32)
         gt_h, gt_w = depth.shape[1:]
         if (gt_h, gt_w) != (h, w):
             depth = np.stack(

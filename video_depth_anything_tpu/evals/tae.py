@@ -25,13 +25,20 @@ def reproject_depth(
     intrinsics: np.ndarray,
     rel_pose: np.ndarray,
     out_shape=None,
+    intrinsics_dst: np.ndarray | None = None,
 ) -> np.ndarray:
     """Forward-warp ``depth (H, W)`` into the target camera; returns the
-    z-buffered target-view depth (0 where nothing lands)."""
+    z-buffered target-view depth (0 where nothing lands).  ``intrinsics``
+    back-projects the source frame; ``intrinsics_dst`` (default: same)
+    projects into the target frame — they differ when K varies per frame."""
     h, w = depth.shape
     out_h, out_w = out_shape or (h, w)
+    if intrinsics_dst is None:
+        intrinsics_dst = intrinsics
     fx, fy = intrinsics[0, 0], intrinsics[1, 1]
     cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    fx_d, fy_d = intrinsics_dst[0, 0], intrinsics_dst[1, 1]
+    cx_d, cy_d = intrinsics_dst[0, 2], intrinsics_dst[1, 2]
 
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     z = depth.astype(np.float64)
@@ -42,8 +49,8 @@ def reproject_depth(
     tgt = rel_pose.astype(np.float64) @ pts
     zt = tgt[2]
     ok = valid.reshape(-1) & (zt > 1e-6)
-    ut = np.round(tgt[0][ok] / zt[ok] * fx + cx).astype(np.int64)
-    vt = np.round(tgt[1][ok] / zt[ok] * fy + cy).astype(np.int64)
+    ut = np.round(tgt[0][ok] / zt[ok] * fx_d + cx_d).astype(np.int64)
+    vt = np.round(tgt[1][ok] / zt[ok] * fy_d + cy_d).astype(np.int64)
     zt = zt[ok]
     inside = (ut >= 0) & (ut < out_w) & (vt >= 0) & (vt < out_h)
     ut, vt, zt = ut[inside], vt[inside], zt[inside]
@@ -71,14 +78,20 @@ def temporal_alignment_error(
     """``depths (T, H, W)`` aligned metric depth, ``intrinsics (T, 3, 3)``,
     ``extrinsics (T, 4, 4)`` world→camera."""
     t_len = depths.shape[0]
+    if t_len < 2:
+        return 0.0
     if valid is None:
         valid = np.ones_like(depths, dtype=bool)
     total = 0.0
     for t in range(t_len - 1):
         fwd = extrinsics[t + 1] @ np.linalg.inv(extrinsics[t])
         bwd = extrinsics[t] @ np.linalg.inv(extrinsics[t + 1])
-        proj_fwd = reproject_depth(depths[t], intrinsics[t], fwd)
-        proj_bwd = reproject_depth(depths[t + 1], intrinsics[t + 1], bwd)
+        proj_fwd = reproject_depth(
+            depths[t], intrinsics[t], fwd, intrinsics_dst=intrinsics[t + 1]
+        )
+        proj_bwd = reproject_depth(
+            depths[t + 1], intrinsics[t + 1], bwd, intrinsics_dst=intrinsics[t]
+        )
         total += _pair_absrel(proj_fwd, depths[t + 1], valid[t + 1])
         total += _pair_absrel(proj_bwd, depths[t], valid[t])
     return total / (2.0 * (t_len - 1))

@@ -91,9 +91,23 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
 
             it = tqdm(it, desc=f"window batches x{n_data}")
 
+        import os
+
+        from video_depth_anything_tpu.io.native_preproc import gather_windows_native
+
+        use_native_gather = (
+            os.environ.get("VDA_NATIVE_PREPROC", "1") != "0"
+            and pre.dtype == np.float32
+        )
+
         window_depths: List[np.ndarray] = []
         for start in it:
-            xs = pre[idx_padded[start : start + n_data]]
+            chunk_idx = idx_padded[start : start + n_data]
+            xs = (
+                gather_windows_native(pre, chunk_idx) if use_native_gather else None
+            )
+            if xs is None:
+                xs = pre[chunk_idx]
             xs = jax.device_put(
                 jnp.asarray(xs, dtype=self.model.dtype),
                 NamedSharding(self.mesh, PS("data")),

@@ -81,25 +81,17 @@ class Trainer:
         self.remat_encoder = remat_encoder
 
     def init_state(self, params) -> TrainState:
-        state = TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
         if self.mesh is not None:
+            # place params with their TP shardings first, then init the
+            # optimizer from the sharded tree so moment buffers inherit the
+            # same layout (one tx.init total)
             pspecs = param_partition_specs(params, TP_RULES)
-            shard = lambda tree, spec_tree: jax.tree.map(
+            params = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-                tree,
-                spec_tree,
+                params,
+                pspecs,
             )
-            params = shard(state.params, pspecs)
-            opt_state = jax.tree.map(
-                lambda x: jax.device_put(
-                    x, NamedSharding(self.mesh, PS())
-                )
-                if jnp.ndim(x) == 0
-                else x,
-                state.opt_state,
-            )
-            state = TrainState(params, self.tx.init(params), state.step)
-        return state
+        return TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
 
     # -- checkpoint / resume ------------------------------------------------
 
