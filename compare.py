@@ -109,18 +109,21 @@ def main(argv=None) -> int:
         json.dump({"reference": "gt" if gt is not None else ref_name, "methods": rows}, f, indent=2)
     print(json.dumps(rows, indent=2))
 
+    # render the common TAIL so panels of different-length methods show the
+    # same video moments side by side
     n = min(len(rgb), *(len(a) for a in aligned.values()))
+    tail = lambda x: x[len(x) - n :]
     render_money_plot(
-        rgb[:n],
-        {k: v[:n] for k, v in aligned.items()},
+        tail(rgb),
+        {k: tail(v) for k, v in aligned.items()},
         os.path.join(args.out_dir, f"{base}_money.mp4"),
         fps=fps,
         max_frames=args.max_frames,
     )
     render_comparison_video(
-        rgb[:n],
-        gt[:n] if gt is not None else None,
-        {k: v[:n] for k, v in aligned.items()},
+        tail(rgb),
+        tail(gt) if gt is not None else None,
+        {k: tail(v) for k, v in aligned.items()},
         os.path.join(args.out_dir, f"{base}_compare.mp4"),
         fps=fps,
         max_frames=args.max_frames,

@@ -141,8 +141,8 @@ def test_tartanair_decode(tmp_path):
     s = ds[0]
     np.testing.assert_allclose(s["depth"][2], 12.0)
     assert s["intrinsics"][0][0, 0] == 320.0
-    # NED conjugation T=[[0,0,1],[1,0,0],[0,1,0]] maps x-translation to row 1
-    np.testing.assert_allclose(s["extrinsics"][1][1, 3], 0.5, atol=1e-6)
+    # cam->world pose (x-translation -> NED row 1) inverted to world->cam
+    np.testing.assert_allclose(s["extrinsics"][1][1, 3], -0.5, atol=1e-6)
 
 
 def test_pointodyssey_decode(tmp_path):

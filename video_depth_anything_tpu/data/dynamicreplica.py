@@ -53,8 +53,9 @@ def viewpoint_to_camera(cam: Dict, image_size) -> Dict[str, np.ndarray]:
 
 
 class DynamicReplica(SceneDepthDataset):
-    max_depth = 80.0
-    min_depth = 0.0
+    # reference bounds (dynamicreplica.py:129-130): float16 max / official min
+    max_depth = 65_504.0
+    min_depth = 1e-5
 
     def __init__(self, root: str, split: str = "train"):
         super().__init__(root)

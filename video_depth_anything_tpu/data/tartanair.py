@@ -41,7 +41,15 @@ def quat_to_rotmat(q: np.ndarray) -> np.ndarray:
 
 
 def poses_to_extrinsics(pose_file: str) -> np.ndarray:
-    """pose_left.txt rows ``x y z qx qy qz qw`` → (N, 4, 4) NED SE(3)."""
+    """pose_left.txt rows ``x y z qx qy qz qw`` → (N, 4, 4) world→camera.
+
+    TartanAir poses are camera→world in the NED frame; after the NED
+    conjugation (``T @ SE @ T⁻¹``, ref ``tartanair.py:106-125``) the result
+    is inverted so the dataset contract (world→camera extrinsics, consumed
+    by TAE reprojection) holds.  The reference returns the un-inverted pose
+    and never consumes it for metrics (its ``Cam_to_World`` flag/comment is
+    self-contradictory) — documented deviation.
+    """
     traj = np.loadtxt(pose_file)
     if traj.ndim == 1:
         traj = traj[None]
@@ -51,7 +59,7 @@ def poses_to_extrinsics(pose_file: str) -> np.ndarray:
         se = np.eye(4)
         se[:3, :3] = quat_to_rotmat(row[3:7])
         se[:3, 3] = row[0:3]
-        out.append(_T_NED @ se @ t_inv)
+        out.append(np.linalg.inv(_T_NED @ se @ t_inv))
     return np.stack(out).astype(np.float32)
 
 

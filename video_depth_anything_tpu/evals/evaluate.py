@@ -61,6 +61,10 @@ def evaluate_dataset(
 
         pred, _ = pipeline.infer_video_depth(frames)
         n_out = len(pred)
+        if n_out == 0:
+            # streaming mode predicts nothing for scenes shorter than its
+            # inference length (reference eval.py:126 skips them too)
+            continue
         # streaming without alignment predicts fewer frames; evaluate the tail
         gt, valid = gt[-n_out:], valid[-n_out:]
 
@@ -77,12 +81,10 @@ def evaluate_dataset(
         metrics = compute_all(aligned, gt, valid)
         tae = None
         if compute_tae and "intrinsics" in sample and "extrinsics" in sample:
-            tae = temporal_alignment_error(
-                aligned,
-                np.asarray(sample["intrinsics"])[-n_out:],
-                np.asarray(sample["extrinsics"])[-n_out:],
-                valid,
-            )
+            # cameras must follow the same truncate-then-tail slicing as gt
+            intr = np.asarray(sample["intrinsics"])[: len(frames)][-n_out:]
+            extr = np.asarray(sample["extrinsics"])[: len(frames)][-n_out:]
+            tae = temporal_alignment_error(aligned, intr, extr, valid)
         saver.add_scene(name, metrics, scale, shift, n_frames=n_out, tae=tae)
         means.append(metrics["AbsoluteRelative"])
         total_frames += n_out

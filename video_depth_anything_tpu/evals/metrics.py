@@ -144,6 +144,9 @@ class CsvSaver:
             csv.writer(f).writerow(row)
 
     def summarize(self, extra_header: Optional[Sequence] = None, extra_row: Optional[Sequence] = None):
+        # all scenes may have been skipped (e.g. streaming on short clips) —
+        # still emit a valid CSV with header + summary rows
+        self._ensure_header()
         data: Dict[str, list] = {k: [] for k in HEADER}
         with open(self.path, newline="") as f:
             for row in csv.DictReader(f):

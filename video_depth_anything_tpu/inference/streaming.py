@@ -144,6 +144,16 @@ class StreamingDepthPipeline:
         return step
 
     @functools.cached_property
+    def _cache_write_fn(self):
+        # donated single-slot write: the cache buffers update in place on
+        # device instead of being copied whole every frame
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write(cache, feats, slot):
+            return tuple(c.at[slot].set(f[0]) for c, f in zip(cache, feats))
+
+        return write
+
+    @functools.cached_property
     def _resize_fn(self):
         from video_depth_anything_tpu.ops.resize import bilinear_resize
 
@@ -194,13 +204,11 @@ class StreamingDepthPipeline:
             if i < L - 1:
                 feats = self._encode_fn(params, x)
                 if cache is None:
-                    cache = [
+                    cache = tuple(
                         jnp.zeros((self.cache_len,) + f.shape[1:], dtype=f.dtype)
                         for f in feats
-                    ]
-                cache = [
-                    c.at[i].set(f[0]) for c, f in zip(cache, feats)
-                ]
+                    )
+                cache = self._cache_write_fn(cache, feats, jnp.int32(i))
                 continue
 
             # select gather schedule + depth prediction slots
@@ -257,15 +265,11 @@ class StreamingDepthPipeline:
             # shift is the virtual-slot permutation — drop virtual slot 1,
             # keep the anchor, append the new frame in the freed physical slot)
             if i < self.cache_len:
-                cache = [
-                    c.at[i].set(f[0]) for c, f in zip(cache, new_feats)
-                ]
+                cache = self._cache_write_fn(cache, new_feats, jnp.int32(i))
             else:
                 freed = phys[1]
                 phys = [phys[0]] + phys[2:] + [freed]
-                cache = [
-                    c.at[freed].set(f[0]) for c, f in zip(cache, new_feats)
-                ]
+                cache = self._cache_write_fn(cache, new_feats, jnp.int32(freed))
 
             # depth bookkeeping / alignment (ref video_depth.py:301-319)
             if self.align:
@@ -285,5 +289,11 @@ class StreamingDepthPipeline:
                 depth_list.extend(depth[k] for k in range(depth.shape[0]))
 
         if self.align:
-            return np.stack(depth_list[1:org_len], axis=0), target_fps
-        return np.stack(depth_list[:org_len], axis=0), target_fps
+            depth_list = depth_list[1:org_len]
+        else:
+            depth_list = depth_list[:org_len]
+        if not depth_list:
+            # fewer frames than the inference window -> nothing predicted
+            # (reference guards this at the eval layer, eval.py:126)
+            return np.zeros((0, fh, fw), np.float32), target_fps
+        return np.stack(depth_list, axis=0), target_fps
