@@ -65,9 +65,131 @@ def bench_window(encoder: str = "vits", size: int = 518, frames: int = 32,
     }
 
 
+def bench_streaming(encoder: str = "vits", size: int = 518,
+                    iters: int = 20, warmup: int = 3) -> dict:
+    """Steady-state streaming step (device-resident cache, one fused
+    program per frame: gather → encode+head → cache write)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_depth_anything_tpu.inference.streaming import (
+        StreamingDepthPipeline,
+    )
+    from video_depth_anything_tpu.models.vda import VDAModel
+
+    model = VDAModel(encoder, dtype=jnp.bfloat16)
+    model.init_params(jax.random.PRNGKey(0))
+    pipe = StreamingDepthPipeline(model)
+    params = model.params
+
+    x = jax.device_put(
+        jnp.asarray(np.random.randn(1, size, size, 3), dtype=model.dtype)
+    )
+    feats = pipe._encode_fn(params, x)
+    cache = tuple(
+        jnp.zeros((pipe.cache_len,) + f.shape[1:], dtype=f.dtype)
+        for f in feats
+    )
+    use_idx = jnp.asarray(
+        np.asarray(pipe.use_feature_idx[-1], dtype=np.int64)
+    )
+    slot = jnp.int32(pipe.cache_len - 1)
+
+    def step(cache):
+        return pipe._step_fn(
+            params, x, cache, use_idx, slot, pred_idx=None, out_hw=(size, size)
+        )
+
+    t0 = time.time()
+    depth, cache = step(cache)
+    compile_s = time.time() - t0
+    for _ in range(warmup):
+        depth, cache = step(cache)
+    float(jnp.sum(depth[0, :2, :2]))
+    t0 = time.time()
+    for _ in range(iters):
+        depth, cache = step(cache)
+    float(jnp.sum(depth[0, :2, :2]))
+    med = (time.time() - t0) / iters
+    return {
+        "encoder": encoder,
+        "size": size,
+        "compile_s": round(compile_s, 2),
+        "median_step_s": round(med, 4),
+        "frames_per_s": round(1.0 / med, 2),
+    }
+
+
+def bench_data_parallel(encoder: str = "vits", size: int = 518,
+                        frames: int = 32, iters: int = 5) -> dict:
+    """Per-chip window throughput under the data-parallel window sharding
+    (single chip here: validates the pjit path adds no overhead; on a pod
+    the same code scales over the ``data`` axis)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from video_depth_anything_tpu.models.vda import VDAModel
+    from video_depth_anything_tpu.parallel.mesh import create_mesh
+
+    n_dev = len(jax.devices())
+    model = VDAModel(encoder, dtype=jnp.bfloat16)
+    model.init_params(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    module = model.module
+
+    @jax.jit
+    def fwd(params, xs):
+        xs = jax.lax.with_sharding_constraint(
+            xs, NamedSharding(mesh, PS("data"))
+        )
+        return module.apply({"params": params}, xs)
+
+    x = jax.device_put(
+        jnp.asarray(
+            np.random.randn(n_dev, frames, size, size, 3), dtype=model.dtype
+        )
+    )
+    t0 = time.time()
+    d = fwd(model.params, x)
+    float(jnp.sum(d[0, 0, :2, :2]))
+    compile_s = time.time() - t0
+    for _ in range(2):
+        d = fwd(model.params, x)
+    float(jnp.sum(d[0, 0, :2, :2]))
+    t0 = time.time()
+    for _ in range(iters):
+        d = fwd(model.params, x)
+    float(jnp.sum(d[0, 0, :2, :2]))
+    med = (time.time() - t0) / iters
+    total_frames = n_dev * frames
+    return {
+        "encoder": encoder,
+        "devices": n_dev,
+        "compile_s": round(compile_s, 2),
+        "frames_per_s_total": round(total_frames / med, 2),
+        "frames_per_s_per_chip": round(total_frames / med / n_dev, 2),
+    }
+
+
 def main() -> int:
+    import os
+
     r = bench_window("vits")
     fps = r["frames_per_s"]
+    detail = dict(r)
+    if os.environ.get("VDA_BENCH_FAST", "0") != "1":
+        # extra rows are best-effort: never lose the headline to a
+        # compile failure in a secondary config
+        for key, fn in (
+            ("vitl", lambda: bench_window("vitl")),
+            ("streaming_vits", lambda: bench_streaming("vits")),
+            ("dp_vits", lambda: bench_data_parallel("vits")),
+        ):
+            try:
+                detail[key] = fn()
+            except Exception as e:  # noqa: BLE001
+                detail[key] = f"ERROR: {type(e).__name__}: {e}"
     print(
         json.dumps(
             {
@@ -75,7 +197,7 @@ def main() -> int:
                 "value": fps,
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS_A100_FP16_SMALL, 3),
-                "detail": r,
+                "detail": detail,
             }
         )
     )

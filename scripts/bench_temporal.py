@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Micro-benchmark the motion-module components at the vitl window shapes.
+
+Times each candidate formulation with the amortized-dispatch method from
+bench.py (the axon tunnel costs ~28 ms per roundtrip; block_until_ready does
+not block), printing one JSON line per (shape, variant).
+
+  nohup python scripts/bench_temporal.py > /tmp/bench_temporal.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# vitl/518 motion-module shapes: (name, S, C) — T=32, B=1, heads=8 always.
+SHAPES = [
+    ("m0_1024@37x37", 37 * 37, 1024),
+    ("m1_1024@19x19", 19 * 19, 1024),
+    ("m2_256@37x37", 37 * 37, 256),
+    ("m3_256@74x74", 74 * 74, 256),
+]
+T = 32
+HEADS = 8
+
+
+def amortized(fn, force, iters=20, warmup=3):
+    out = fn()
+    force(out)  # compile
+    for _ in range(warmup):
+        out = fn()
+    force(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn()
+    force(out)
+    return (time.time() - t0) / iters
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", default="einsum,proj,groupnorm,geglu,module,pallas")
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args(argv)
+    variants = args.variants.split(",")
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+
+    def force(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(leaf.reshape(-1)[:4].astype(jnp.float32)))
+
+    def emit(key, val):
+        print(
+            json.dumps(
+                {"bench": key, "ms": round(val * 1e3, 3) if isinstance(val, float) else val}
+            ),
+            flush=True,
+        )
+
+    for name, s, c in SHAPES:
+        d = c // HEADS
+        scale = d**-0.5
+        x = jnp.asarray(rng.randn(1, T, s, c) * 0.5, dtype=jnp.bfloat16)
+        q = jnp.asarray(rng.randn(1, T, s, c) * 0.5, dtype=jnp.bfloat16)
+        k = jnp.asarray(rng.randn(1, T, s, c) * 0.5, dtype=jnp.bfloat16)
+        v = jnp.asarray(rng.randn(1, T, s, c) * 0.5, dtype=jnp.bfloat16)
+
+        if "einsum" in variants:
+            # the in-model attention core (temporal.py _attend)
+            @jax.jit
+            def core(q, k, v):
+                b, t, ss, cc = q.shape
+                q5 = q.reshape(b, t, ss, HEADS, cc // HEADS)
+                k5 = k.reshape(b, t, ss, HEADS, cc // HEADS)
+                v5 = v.reshape(b, t, ss, HEADS, cc // HEADS)
+                scores = jnp.einsum(
+                    "bqshd,bkshd->bshqk", q5, k5,
+                    preferred_element_type=jnp.float32,
+                ) * jnp.float32(scale)
+                probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+                out = jnp.einsum(
+                    "bshqk,bkshd->bqshd", probs, v5,
+                    preferred_element_type=jnp.float32,
+                ).astype(q.dtype)
+                return out.reshape(b, t, ss, cc)
+
+            dt = amortized(lambda: core(q, k, v), force, args.iters)
+            emit(f"{name}/einsum_core", dt)
+
+        if "proj" in variants:
+            w = jnp.asarray(rng.randn(c, c) * 0.02, dtype=jnp.bfloat16)
+
+            @jax.jit
+            def proj4(x, w):
+                y = x
+                for _ in range(4):
+                    y = y @ w
+                return y
+
+            dt = amortized(lambda: proj4(x, w), force, args.iters)
+            emit(f"{name}/proj4", dt)
+
+        if "groupnorm" in variants:
+            hw = int(round(s**0.5))
+            xg = x.reshape(1, T, hw, hw, c)
+            sc = jnp.ones((c,), jnp.float32)
+            bi = jnp.zeros((c,), jnp.float32)
+
+            @jax.jit
+            def gn(x, sc, bi):
+                xf = x.astype(jnp.float32)
+                shape = xf.shape
+                g = 32
+                grouped = xf.reshape(shape[:-3] + (-1,) + (g, c // g))
+                mean = grouped.mean(axis=(-3, -1), keepdims=True)
+                var = grouped.var(axis=(-3, -1), keepdims=True)
+                grouped = (grouped - mean) * jax.lax.rsqrt(var + 1e-6)
+                xf = grouped.reshape(shape)
+                return (xf * sc + bi).astype(x.dtype)
+
+            dt = amortized(lambda: gn(xg, sc, bi), force, args.iters)
+            emit(f"{name}/groupnorm", dt)
+
+        if "geglu" in variants:
+            w1 = jnp.asarray(rng.randn(c, 8 * c) * 0.02, dtype=jnp.bfloat16)
+            w2 = jnp.asarray(rng.randn(4 * c, c) * 0.02, dtype=jnp.bfloat16)
+
+            @jax.jit
+            def ff(x, w1, w2):
+                h = x @ w1
+                h, gate = jnp.split(h, 2, axis=-1)
+                h = h * jax.nn.gelu(gate, approximate=True)
+                return h @ w2
+
+            dt = amortized(lambda: ff(x, w1, w2), force, args.iters)
+            emit(f"{name}/geglu", dt)
+
+        if "module" in variants:
+            from video_depth_anything_tpu.config import MotionModuleConfig
+            from video_depth_anything_tpu.models.temporal import TemporalModule
+
+            hw = int(round(s**0.5))
+            xm = x.reshape(1, T, hw, hw, c)
+            cfg = MotionModuleConfig()
+            mod = TemporalModule(cfg, c)
+            params = mod.init(jax.random.PRNGKey(0), xm)
+            app = jax.jit(lambda p, xx: mod.apply(p, xx))
+            dt = amortized(lambda: app(params, xm), force, args.iters)
+            emit(f"{name}/module", dt)
+
+        if "pallas" in variants:
+            try:
+                from video_depth_anything_tpu.ops.pallas_temporal import (
+                    temporal_attention_window,
+                )
+
+                for impl in ("mxu", "vpu"):
+                    fn = jax.jit(
+                        lambda q, k, v, impl=impl: temporal_attention_window(
+                            q, k, v, heads=HEADS, scale=scale, reduce_impl=impl
+                        )
+                    )
+                    dt = amortized(lambda: fn(q, k, v), force, args.iters)
+                    emit(f"{name}/pallas_{impl}", dt)
+            except Exception as e:  # noqa: BLE001
+                emit(f"{name}/pallas", f"ERROR: {e}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

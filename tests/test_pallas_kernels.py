@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from video_depth_anything_tpu.ops.attention import _xla_attention
@@ -40,5 +41,75 @@ def test_flash_bf16(rng):
     want = np.asarray(_xla_attention(q, k, v, scale), dtype=np.float32)
     got = np.asarray(
         spatial_flash_attention(q, k, v, scale, interpret=True), dtype=np.float32
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# temporal (motion-module) attention kernel
+
+
+def _temporal_reference(q, k, v, heads, scale):
+    b, t, s, c = q.shape
+    d = c // heads
+    q5 = q.reshape(b, t, s, heads, d)
+    k5 = k.reshape(b, t, s, heads, d)
+    v5 = v.reshape(b, t, s, heads, d)
+    scores = jnp.einsum(
+        "bqshd,bkshd->bshqk", q5, k5, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum(
+        "bshqk,bkshd->bqshd", probs, v5, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+    return out.reshape(b, t, s, c)
+
+
+@pytest.mark.parametrize("reduce_impl", ["mxu", "vpu"])
+@pytest.mark.parametrize(
+    "s,c,heads",
+    [
+        (100, 256, 8),   # d=32 (vitl motion modules 2/3), S padded 100->128
+        (64, 1024, 8),   # d=128 (vitl motion modules 0/1), 4 channel groups
+        (37, 128, 4),    # d=32 single group, heavy S padding
+    ],
+)
+def test_temporal_kernel_matches_einsum(rng, s, c, heads, reduce_impl):
+    from video_depth_anything_tpu.ops.pallas_temporal import (
+        temporal_attention_window,
+    )
+
+    t = 32
+    d = c // heads
+    scale = d**-0.5
+    q = jnp.asarray(rng.randn(2, t, s, c).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.randn(2, t, s, c).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.randn(2, t, s, c).astype(np.float32))
+    want = np.asarray(_temporal_reference(q, k, v, heads, scale))
+    got = np.asarray(
+        temporal_attention_window(
+            q, k, v, heads=heads, scale=scale, reduce_impl=reduce_impl,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_temporal_kernel_bf16(rng):
+    from video_depth_anything_tpu.ops.pallas_temporal import (
+        temporal_attention_window,
+    )
+
+    t, s, c, heads = 32, 50, 256, 8
+    scale = (c // heads) ** -0.5
+    q = (rng.randn(1, t, s, c) * 0.5).astype(jnp.bfloat16)
+    k = (rng.randn(1, t, s, c) * 0.5).astype(jnp.bfloat16)
+    v = rng.randn(1, t, s, c).astype(jnp.bfloat16)
+    want = np.asarray(_temporal_reference(q, k, v, heads, scale), dtype=np.float32)
+    got = np.asarray(
+        temporal_attention_window(
+            q, k, v, heads=heads, scale=scale, interpret=True
+        ),
+        dtype=np.float32,
     )
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)

@@ -128,18 +128,49 @@ class StreamingDepthPipeline:
 
     @functools.cached_property
     def _step_fn(self):
+        """One fused device program per steady frame: cache gather → encoder
+        + head step → align-corners resize → in-place (donated) cache write.
+
+        Keeping everything in a single ``jit`` keeps the feature cache
+        device-resident with no per-frame host dispatch chatter (the
+        reference re-indexes and shifts its cache tensors in Python every
+        frame, ``video_depth.py:238-296``)."""
         module = self.model.module
 
-        @functools.partial(jax.jit, static_argnames=("skip_tmp_block",))
-        def step(params, x, cached, pred_idx=None, skip_tmp_block=False):
-            return module.apply(
+        @functools.partial(
+            jax.jit,
+            static_argnames=("skip_tmp_block", "out_hw"),
+            donate_argnums=(2,),
+        )
+        def step(
+            params,
+            x,
+            cache,
+            use_idx,
+            slot,
+            pred_idx=None,
+            skip_tmp_block=False,
+            out_hw=None,
+        ):
+            gathered = tuple(c[use_idx] for c in cache)
+            depth, new_feats = module.apply(
                 {"params": params},
                 x,
-                cached,
+                gathered,
                 pred_idx=pred_idx,
                 skip_tmp_block=skip_tmp_block,
                 method="streaming_step",
             )
+            if out_hw is not None and out_hw != depth.shape[1:]:
+                from video_depth_anything_tpu.ops.resize import bilinear_resize
+
+                depth = bilinear_resize(
+                    depth[..., None].astype(jnp.float32), *out_hw
+                )[..., 0]
+            cache = tuple(
+                c.at[slot].set(f[0]) for c, f in zip(cache, new_feats)
+            )
+            return depth, cache
 
         return step
 
@@ -152,18 +183,6 @@ class StreamingDepthPipeline:
             return tuple(c.at[slot].set(f[0]) for c, f in zip(cache, feats))
 
         return write
-
-    @functools.cached_property
-    def _resize_fn(self):
-        from video_depth_anything_tpu.ops.resize import bilinear_resize
-
-        @functools.partial(jax.jit, static_argnames=("fh", "fw"))
-        def resize(d, fh, fw):
-            # align_corners bilinear to the original video resolution
-            # (ref video_depth.py:299)
-            return bilinear_resize(d[..., None].astype(jnp.float32), fh, fw)[..., 0]
-
-        return resize
 
     # -- main loop ----------------------------------------------------------
 
@@ -186,6 +205,7 @@ class StreamingDepthPipeline:
 
         cache: Optional[List[jnp.ndarray]] = None
         depth_list: List[np.ndarray] = []
+        pending: List[jnp.ndarray] = []
         old_keyframes_started = False
         # Virtual→physical slot map: the reference shifts the whole cache
         # every steady step (video_depth.py:288-296, a full-buffer rewrite of
@@ -242,37 +262,34 @@ class StreamingDepthPipeline:
                             abs_pred_idx.append(v + (i - (L + max_kf)) + 1)
 
             use_idx = np.asarray([phys[v] for v in use_idx], dtype=np.int64)
-            gathered = tuple(c[jnp.asarray(use_idx)] for c in cache)
             pred_idx_arr = (
                 None
                 if pred_idx is None
                 else jnp.asarray(pred_idx, dtype=jnp.int32)
             )
-            depth, new_feats = self._step_fn(
+            # slot selection (semantics of ref video_depth.py:278-296, but
+            # the shift is the virtual-slot permutation — drop virtual slot 1,
+            # keep the anchor, write the new frame into the freed slot)
+            if i < self.cache_len:
+                slot = i
+            else:
+                slot = phys[1]
+                phys = [phys[0]] + phys[2:] + [slot]
+            depth, cache = self._step_fn(
                 params,
                 x,
-                gathered,
+                cache,
+                jnp.asarray(use_idx),
+                jnp.int32(slot),
                 pred_idx=pred_idx_arr,
                 skip_tmp_block=skip_tmp_block,
+                out_hw=(fh, fw),
             )
-            # model output is at model resolution; bring to original video
-            # size with align_corners bilinear (ref video_depth.py:299)
-            if (fh, fw) != depth.shape[1:]:
-                depth = self._resize_fn(depth, fh, fw)
-            depth = np.asarray(depth, dtype=np.float32)
-
-            # cache update (semantics of ref video_depth.py:278-296, but the
-            # shift is the virtual-slot permutation — drop virtual slot 1,
-            # keep the anchor, append the new frame in the freed physical slot)
-            if i < self.cache_len:
-                cache = self._cache_write_fn(cache, new_feats, jnp.int32(i))
-            else:
-                freed = phys[1]
-                phys = [phys[0]] + phys[2:] + [freed]
-                cache = self._cache_write_fn(cache, new_feats, jnp.int32(freed))
 
             # depth bookkeeping / alignment (ref video_depth.py:301-319)
             if self.align:
+                # the host alignment chain needs this frame's depth now
+                depth = np.asarray(depth, dtype=np.float32)
                 if not old_keyframes_started:
                     old_keyframes_started = True
                     depth_list.extend(depth[k] for k in range(depth.shape[0]))
@@ -286,7 +303,16 @@ class StreamingDepthPipeline:
                     s, t = compute_scale_and_shift(cur_kf, old_kf)
                     depth_list.append(cur_pred * s + t)
             else:
-                depth_list.extend(depth[k] for k in range(depth.shape[0]))
+                # keep the result on device for one frame so its D2H copy
+                # overlaps the next step's compute
+                pending.append(depth)
+                if len(pending) > 1:
+                    d = np.asarray(pending.pop(0), dtype=np.float32)
+                    depth_list.extend(d[k] for k in range(d.shape[0]))
+
+        while pending:
+            d = np.asarray(pending.pop(0), dtype=np.float32)
+            depth_list.extend(d[k] for k in range(d.shape[0]))
 
         if self.align:
             depth_list = depth_list[1:org_len]

@@ -34,7 +34,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from video_depth_anything_tpu.config import ModelConfig
-from video_depth_anything_tpu.models.layers import Conv2d, Deconv2dPixelShuffle
+from video_depth_anything_tpu.models.layers import Conv2d, Deconv2dPixelShuffle, DTypeDense
 from video_depth_anything_tpu.models.temporal import TemporalModule
 from video_depth_anything_tpu.ops.resize import bilinear_resize
 
@@ -85,10 +85,15 @@ class DPTHeadTemporal(nn.Module):
         cfg = self.cfg
         out_ch = cfg.out_channels
         f = cfg.features
-        self.project_0 = nn.Dense(out_ch[0])
-        self.project_1 = nn.Dense(out_ch[1])
-        self.project_2 = nn.Dense(out_ch[2])
-        self.project_3 = nn.Dense(out_ch[3])
+        # DTypeDense, not nn.Dense: the default flax promotion rule would
+        # compute bf16 @ fp32 in fp32 and silently run the ENTIRE head
+        # (convs, refinenets, motion modules) in fp32 downstream.  The
+        # reference runs the head under fp16 autocast with only output_conv2
+        # forced fp32 (dpt_temporal.py:95-97), mirrored by _output_head.
+        self.project_0 = DTypeDense(out_ch[0])
+        self.project_1 = DTypeDense(out_ch[1])
+        self.project_2 = DTypeDense(out_ch[2])
+        self.project_3 = DTypeDense(out_ch[3])
         self.resize_0 = Deconv2dPixelShuffle(out_ch[0], 4)
         self.resize_1 = Deconv2dPixelShuffle(out_ch[1], 2)
         self.resize_3 = Conv2d(out_ch[3], 3, stride=2, padding=1)

@@ -113,6 +113,22 @@ class TemporalSelfAttention(nn.Module):
     def _attend(self, q, k, v, b, s, c):
         heads = self.cfg.num_heads
         head_dim = self.dim // heads
+        # Measured on v5e (docs/PERFORMANCE.md): XLA's bf16 batched einsum
+        # wins at head_dim 128 (m0: 3.9 vs 11.5 ms) while the Pallas kernel
+        # wins at head_dim 32 with large S (m3: 11.2 vs 13.8 ms) — "auto"
+        # dispatches per shape accordingly; "pallas" forces the kernel for
+        # every supported shape.
+        if self.attn_impl in ("auto", "pallas") and q.shape == k.shape:
+            from video_depth_anything_tpu.ops.pallas_temporal import (
+                try_temporal_attention,
+            )
+
+            out = try_temporal_attention(
+                q, k, v, heads=heads, scale=head_dim**-0.5,
+                auto=self.attn_impl == "auto",
+            )
+            if out is not None:
+                return self.to_out(out)
         q5 = q.reshape(b, q.shape[1], s, heads, head_dim)
         k5 = k.reshape(b, k.shape[1], s, heads, head_dim)
         v5 = v.reshape(b, v.shape[1], s, heads, head_dim)

@@ -66,16 +66,19 @@ def _flash_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    # mask pad columns (static decision: skip the pass entirely when the
-    # row is unpadded; ``ki`` is traced so per-block gating is not possible)
-    if n_valid < num_k * block_k:
-        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, _NEG_INF)
+    n_pad = num_k * block_k - n_valid
 
     m_prev = m_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     p = jnp.exp((s - m_new).astype(softmax_dtype))
     row_sum = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    # Pad columns are exact zeros of K (score 0, so m_new ≥ 0 on the padded
+    # block): instead of a per-element ``where`` over the whole score tile,
+    # subtract their contribution n_pad·exp(−m) from the row sum.  Pad rows
+    # of V are zero, so the accumulator needs no correction at all.
+    if n_pad > 0:
+        last = (ki == num_k - 1).astype(jnp.float32)
+        row_sum = row_sum - (last * n_pad) * jnp.exp(-m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_ref[:] = jnp.broadcast_to(alpha * l_ref[:, :1] + row_sum, l_ref.shape)
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -89,6 +92,40 @@ def _flash_kernel(
     @pl.when(ki == num_k - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_kernel_single(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    *,
+    n_valid,
+    n_pad_cols,
+    softmax_dtype,
+):
+    """Whole-KV-row specialization (the tuned config at N≈1370): a plain
+    single-pass softmax with no online-update state and no scratch traffic.
+    The max/sub/exp/sum chain over the fp32 score tile dominates (VPU-bound,
+    docs/PERFORMANCE.md), so every saved elementwise pass counts: pad
+    columns are handled by the analytic row-sum correction above instead of
+    a ``where`` + iota pass, and m ≥ 0 holds whenever the row is padded."""
+    q = q_ref[0]  # pre-scaled by the wrapper
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp((s - m).astype(softmax_dtype))
+    l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    if n_pad_cols > 0:
+        l = l - jnp.float32(n_pad_cols) * jnp.exp(-m)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -120,6 +157,29 @@ def flash_attention_bhnd(
     num_k = n_pad // block_k
 
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+
+    if num_k == 1:
+        kernel = functools.partial(
+            _flash_kernel_single,
+            n_valid=n_valid,
+            n_pad_cols=n_pad - n_valid,
+            softmax_dtype=softmax_dtype,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(bh, num_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, qi: (b, qi, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, qi: (b, 0, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, qi: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi: (b, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(q, k, v)
 
     kernel = functools.partial(
         _flash_kernel,

@@ -1,0 +1,217 @@
+"""Pallas TPU kernel for the temporal ("motion") attention core.
+
+The motion modules attend along the 32-frame axis independently per spatial
+location (reference rearrange ``(b f) d c -> (b d) f c``,
+``video_depth_anything/motion_module/motion_module.py:253``): batch = B·S·H
+tiny (T=32, d∈{32,128}) attentions.  XLA lowers the batched einsum to loops
+of sub-MXU-tile GEMMs plus layout copies — measured ~3× above the GEMM
+floor at the vitl shapes (docs/PERFORMANCE.md).
+
+TPU-native formulation: keep the natural ``(B, T, S, C)`` layout (C on
+lanes, S on sublanes — no transposes at all) and compute, per query frame
+``t1``:
+
+  * ``E = q[t1] * K``                 — elementwise over (T2, S_blk, C), VPU
+  * per-head reduce of E over d lanes — either one MXU GEMM with a 0/1
+    segment matrix ``(C_grp, 128)`` (contraction is the full lane axis), or
+    a VPU lane-tree ``reshape(T2, S_blk, H, d).sum(-1)``
+  * fp32 softmax over the frame axis (axis 0 — plain tile ops, no
+    cross-lane work)
+  * head→lane expand of the probabilities (transposed segment matrix on the
+    MXU, or a broadcast+reshape on the VPU) and a ``Σ_t2 p·V`` fused
+    multiply-reduce.
+
+Channel groups of ≤256 lanes (whole heads) bound VMEM, so the grid is
+``(B, S-blocks, C-groups)`` and every program is independent ("parallel"
+semantics; no carried state).  Pad spatial locations compute garbage that
+the wrapper slices off — softmax is over the always-full frame axis, so no
+masking is needed anywhere.  Unused segment-matrix lanes produce score 0 →
+exp ≤ 1 → finite probabilities that the zero columns of the expand matrix
+annihilate: no NaN path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["temporal_attention_window", "try_temporal_attention"]
+
+_LANES = 128
+
+
+def _segment_matrices(c_grp: int, head_dim: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """(seg, expand): seg (c_grp, 128) sums each head's d lanes into one
+    score lane; expand (128, c_grp) broadcasts a head's probability back
+    over its d lanes."""
+    h_grp = c_grp // head_dim
+    seg = np.zeros((c_grp, _LANES), dtype=dtype)
+    for h in range(h_grp):
+        seg[h * head_dim : (h + 1) * head_dim, h] = 1.0
+    return seg, seg.T.copy()
+
+
+def _temporal_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    seg_ref,
+    exp_ref,
+    o_ref,
+    *,
+    t: int,
+    head_dim: int,
+    reduce_impl: str,
+):
+    k_ = k_ref[0]
+    v_ = v_ref[0]
+    t_, s_blk, c_grp = k_.shape
+    h_grp = c_grp // head_dim
+
+    def per_t1(t1, _):
+        qt = q_ref[0, pl.ds(t1, 1)]  # (1, S_blk, C_grp), pre-scaled
+        e = qt * k_  # (T2, S_blk, C_grp) bf16 on the VPU
+        if reduce_impl == "mxu":
+            scores = jax.lax.dot_general(
+                e.reshape(t_ * s_blk, c_grp),
+                seg_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(t_, s_blk, _LANES)
+        else:
+            scores = jnp.sum(
+                e.reshape(t_, s_blk, h_grp, head_dim).astype(jnp.float32), axis=-1
+            )
+        # softmax over the frame axis (axis 0): outer-dim reductions only.
+        m = jnp.max(scores, axis=0, keepdims=True)
+        p = jnp.exp(scores - m)
+        l = jnp.sum(p, axis=0, keepdims=True)
+        p = (p / l).astype(v_.dtype)
+        if reduce_impl == "mxu":
+            p_full = jax.lax.dot_general(
+                p.reshape(t_ * s_blk, _LANES),
+                exp_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(v_.dtype).reshape(t_, s_blk, c_grp)
+        else:
+            p_full = jnp.broadcast_to(
+                p[:, :, :, None], (t_, s_blk, h_grp, head_dim)
+            ).reshape(t_, s_blk, c_grp)
+        o = jnp.sum((p_full * v_).astype(jnp.float32), axis=0)
+        o_ref[0, t1] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, t, per_t1, 0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "heads", "scale", "block_s", "reduce_impl", "interpret"
+    ),
+)
+def temporal_attention_window(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    heads: int,
+    scale: float,
+    block_s: int = 0,
+    reduce_impl: str = "mxu",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-location attention over the frame axis.
+
+    ``q, k, v: (B, T, S, C)`` → ``(B, T, S, C)``; softmax over the T (key)
+    axis independently for each (location, head).  Matches
+    ``TemporalSelfAttention._attend`` within bf16 tolerance.
+    """
+    b, t, s, c = q.shape
+    head_dim = c // heads
+    c_grp = min(c, 256)
+    h_grp = c_grp // head_dim
+    if block_s == 0:
+        # Byte-aware block sizing: q/k/v/out blocks are double-buffered by
+        # the pipeline (8 block-sized VMEM buffers) plus in-kernel fp32
+        # score/probability temporaries — ~1 MB per input block keeps the
+        # whole program inside the 16 MB VMEM budget for bf16 and fp32.
+        itemsize = jnp.dtype(q.dtype).itemsize
+        block_s = max(16, (1 << 20) // (t * c_grp * itemsize) // 16 * 16)
+    s_pad = _round_up(s, block_s)
+    if s_pad != s:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    seg, expand = _segment_matrices(c_grp, head_dim, np.float32)
+    seg = jnp.asarray(seg, dtype=q.dtype)
+    expand = jnp.asarray(expand, dtype=q.dtype)
+
+    kernel = functools.partial(
+        _temporal_kernel, t=t, head_dim=head_dim, reduce_impl=reduce_impl
+    )
+    grid = (b, s_pad // block_s, c // c_grp)
+    qkv_spec = pl.BlockSpec(
+        (1, t, block_s, c_grp), lambda bi, si, ci: (bi, 0, si, ci)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((c_grp, _LANES), lambda bi, si, ci: (0, 0)),
+            pl.BlockSpec((_LANES, c_grp), lambda bi, si, ci: (0, 0)),
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v, seg, expand)
+    if s_pad != s:
+        out = out[:, :, :s]
+    return out
+
+
+def try_temporal_attention(q, k, v, *, heads: int, scale: float, auto: bool = False):
+    """Dispatch gate: (B, T, S, C) bf16/f32 with lane-aligned head groups.
+
+    Covers the vitl motion-module shapes (C ∈ {256, 1024}, d ∈ {32, 128});
+    returns ``None`` (→ XLA einsum path) otherwise.  With ``auto=True`` the
+    gate additionally requires the shapes where the kernel measured faster
+    than XLA's bf16 batched einsum on v5e (head_dim 32 at large S, e.g. the
+    vitl 256@74² module: 11.2 vs 13.8 ms; at head_dim 128 XLA wins ~3×  —
+    docs/PERFORMANCE.md).
+    """
+    if q.ndim != 4:
+        return None
+    b, t, s, c = q.shape
+    head_dim = c // heads
+    if c % heads != 0 or c % _LANES != 0:
+        return None
+    if head_dim not in (32, 64, 128) or t < 8:
+        return None
+    if auto and not (head_dim == 32 and s >= 2048):
+        return None
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return None
+    except Exception:  # pragma: no cover
+        return None
+    return temporal_attention_window(q, k, v, heads=heads, scale=scale)
