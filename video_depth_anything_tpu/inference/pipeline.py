@@ -138,6 +138,56 @@ class VideoDepthPipeline:
 
         return fwd
 
+    def _preprocess_pipelined(self, frames: np.ndarray, pad_len: int, target_hw):
+        """Producer-thread preprocessing: returns ``(pre, wait_until)`` where
+        ``pre`` fills chunk-by-chunk in the background (native C++ resize +
+        normalize releases the GIL) and ``wait_until(n)`` blocks until the
+        first ``n`` padded frames are ready.  Overlaps the host decode/
+        transform cost with device window compute — the reference transforms
+        every frame up front before any GPU work (``video_depth.py:336-354``).
+        """
+        import threading
+
+        from video_depth_anything_tpu.utils.transform import model_size_for
+
+        org_len, fh, fw = frames.shape[:3]
+        mh, mw = target_hw or model_size_for(fh, fw, self.input_size)
+        pre = np.empty((pad_len, mh, mw, 3), np.float32)
+        chunk = INFER_LEN - OVERLAP
+        state = {"ready": 0, "err": None}
+        cond = threading.Condition()
+
+        def worker():
+            try:
+                for a in range(0, org_len, chunk):
+                    b = min(org_len, a + chunk)
+                    pre[a:b] = preprocess_frames(
+                        frames[a:b], self.input_size, (mh, mw)
+                    )
+                    with cond:
+                        state["ready"] = b
+                        cond.notify_all()
+                if pad_len > org_len:
+                    pre[org_len:] = pre[org_len - 1]
+                with cond:
+                    state["ready"] = pad_len
+                    cond.notify_all()
+            except BaseException as e:  # noqa: BLE001 - repropagated below
+                with cond:
+                    state["err"] = e
+                    cond.notify_all()
+
+        threading.Thread(target=worker, daemon=True).start()
+
+        def wait_until(n: int):
+            with cond:
+                while state["ready"] < n and state["err"] is None:
+                    cond.wait()
+                if state["err"] is not None:
+                    raise state["err"]
+
+        return pre, wait_until
+
     def infer_video_depth(
         self,
         frames: np.ndarray,
@@ -150,11 +200,9 @@ class VideoDepthPipeline:
         pad_len = padded_length(org_len)
         idx = window_frame_indices(org_len)
 
-        pre = preprocess_frames(frames, self.input_size, self._target_hw(fh, fw))
-        if pad_len > org_len:
-            pre = np.concatenate(
-                [pre, np.repeat(pre[-1:], pad_len - org_len, axis=0)], axis=0
-            )
+        pre, wait_until = self._preprocess_pipelined(
+            frames, pad_len, self._target_hw(fh, fw)
+        )
 
         it = range(idx.shape[0])
         if progress:
@@ -172,6 +220,7 @@ class VideoDepthPipeline:
         window_depths: List[np.ndarray] = []
         pending = None
         for w in it:
+            wait_until(int(idx[w].max()) + 1)
             x = jnp.asarray(pre[idx[w]][None], dtype=self.model.dtype)
             d = self._window_fn(
                 self.model.params, x, fh, fw, skip_tmp_block=skip_tmp_block
