@@ -133,6 +133,29 @@ def main(argv=None):
             dt = amortized(lambda: gn(xg, sc, bi), force, args.iters)
             emit(f"{name}/groupnorm", dt)
 
+            @jax.jit
+            def gn2(x, sc, bi):
+                # two-moment formulation: spatial sums first (sublane
+                # reduction), then the tiny per-group lane reduce; one fused
+                # normalize pass with per-sample (a, b) broadcast.
+                g = 32
+                xf = x.astype(jnp.float32)
+                s1 = jnp.sum(xf, axis=(-3, -2))  # (..., C)
+                s2 = jnp.sum(xf * xf, axis=(-3, -2))
+                cnt = x.shape[-3] * x.shape[-2] * (c // g)
+                gshape = s1.shape[:-1] + (g, c // g)
+                mean = s1.reshape(gshape).sum(-1, keepdims=True) / cnt
+                ex2 = s2.reshape(gshape).sum(-1, keepdims=True) / cnt
+                inv = jax.lax.rsqrt(ex2 - mean * mean + 1e-6)
+                aa = jnp.broadcast_to(inv, gshape).reshape(s1.shape) * sc
+                bb = bi - jnp.broadcast_to(mean, gshape).reshape(s1.shape) * aa
+                aa = aa[..., None, None, :]
+                bb = bb[..., None, None, :]
+                return (xf * aa + bb).astype(x.dtype)
+
+            dt = amortized(lambda: gn2(xg, sc, bi), force, args.iters)
+            emit(f"{name}/groupnorm2", dt)
+
         if "geglu" in variants:
             w1 = jnp.asarray(rng.randn(c, 8 * c) * 0.02, dtype=jnp.bfloat16)
             w2 = jnp.asarray(rng.randn(4 * c, c) * 0.02, dtype=jnp.bfloat16)
