@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_len", type=int, default=-1)
     p.add_argument("--target_fps", type=int, default=-1)
     p.add_argument("--fp32", action="store_true", help="fp32 end-to-end (default bf16 + fp32 islands)")
+    p.add_argument("--fp32_island", action="store_true",
+                   help="force the reference's fp32 output_conv2 island in bf16 mode "
+                        "(bit-closer to the fp16 reference; ~25%% slower head)")
     p.add_argument("--skip_tmp_block", action="store_true", help="skip the third motion module")
     p.add_argument("--original", action="store_true",
                    help="reference-default sliding-window mode (no streaming flags)")
@@ -67,7 +70,16 @@ def main(argv=None) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
 
-    model = VDAModel(args.encoder, dtype=dtype)
+    cfg = None
+    if args.fp32_island and not args.fp32:
+        import dataclasses
+
+        from video_depth_anything_tpu.config import get_model_config
+
+        cfg = dataclasses.replace(
+            get_model_config(args.encoder), fp32_head_island=True
+        )
+    model = VDAModel(args.encoder, dtype=dtype, cfg=cfg)
     if args.random_init:
         model.init_params(jax.random.PRNGKey(0))
     else:

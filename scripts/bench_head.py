@@ -90,6 +90,36 @@ def main():
         dt_out = amortized(lambda: out_fn(params, path1), force)
         print(json.dumps({"bench": f"{encoder}/output_head",
                           "ms": round(dt_out * 1e3, 2)}), flush=True)
+
+        # decompose the output stack
+        from video_depth_anything_tpu.ops.resize import bilinear_resize
+
+        c1 = jax.jit(lambda p, x: head.apply(
+            p, x, method=lambda m, x: m.output_conv1(x)))
+        dt = amortized(lambda: c1(params, path1), force)
+        print(json.dumps({"bench": f"{encoder}/out_conv1_296",
+                          "ms": round(dt * 1e3, 2)}), flush=True)
+
+        half = jnp.asarray(
+            rng.randn(n, ph * 8, pw * 8, f // 2) * 0.5, dtype=jnp.bfloat16
+        )
+        rs = jax.jit(lambda x: bilinear_resize(x, ph * 14, pw * 14))
+        dt = amortized(lambda: rs(half), force)
+        print(json.dumps({"bench": f"{encoder}/resize_296to518_c{f//2}",
+                          "ms": round(dt * 1e3, 2)}), flush=True)
+
+        big = jnp.asarray(
+            rng.randn(n, ph * 14, pw * 14, f // 2) * 0.5, dtype=jnp.bfloat16
+        )
+        c2 = jax.jit(lambda p, x: head.apply(
+            p, x,
+            method=lambda m, x: m.output_conv2_2(
+                jax.nn.relu(m.output_conv2_0(x))
+            ),
+        ))
+        dt = amortized(lambda: c2(params, big), force)
+        print(json.dumps({"bench": f"{encoder}/out_conv2_stack_518",
+                          "ms": round(dt * 1e3, 2)}), flush=True)
     return 0
 
 

@@ -71,6 +71,14 @@ class ModelConfig:
     motion: MotionModuleConfig = MotionModuleConfig()
     num_frames: int = 32
     use_clstoken: bool = False
+    # The reference forces output_conv2 to fp32 to dodge *fp16* range/
+    # precision collapse (dpt_temporal.py:95-97).  bf16 has fp32's exponent
+    # range and the MXU accumulates in fp32 regardless, so on TPU the island
+    # buys no accuracy (<0.1% depth deviation measured) while costing 4×
+    # lane-waste fp32 traffic on (T, 518, 518, 32) maps — ~31 ms/window at
+    # vits (docs/PERFORMANCE.md).  In fp32 model mode everything is fp32
+    # anyway; set True to force the cast in mixed precision.
+    fp32_head_island: bool = False
 
     @property
     def head_in_channels(self) -> int:

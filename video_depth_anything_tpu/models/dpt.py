@@ -141,8 +141,10 @@ class DPTHeadTemporal(nn.Module):
     def _output_head(self, path1: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
         out = self.output_conv1(path1)
         out = bilinear_resize(out, ph * 14, pw * 14)
-        # fp32 island (ref dpt_temporal.py:95-97).
-        out = out.astype(jnp.float32)
+        if self.cfg.fp32_head_island:
+            # fp32 island (ref dpt_temporal.py:95-97) — see
+            # ModelConfig.fp32_head_island for why bf16 skips it on TPU.
+            out = out.astype(jnp.float32)
         out = self.output_conv2_0(out)
         out = nn.relu(out)
         out = self.output_conv2_2(out)

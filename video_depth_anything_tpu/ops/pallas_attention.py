@@ -231,10 +231,18 @@ def spatial_flash_attention(
     if _round_up(n, 128) <= 2048:
         n_pad = _round_up(n, 128)
         block_k = n_pad
-        # largest row block ≤768 (sublane-aligned) that divides n_pad
-        block_q = max(
-            bq for bq in range(8, min(n_pad, 768) + 1, 8) if n_pad % bq == 0
-        )
+        if n_pad <= 1408:
+            # whole-row q block: one program per (batch·head) — measured
+            # fastest at the vitl shape (7.44 vs 7.62 ms at block_q 704,
+            # docs/PERFORMANCE.md); the (n_pad, n_pad) fp32 score tile tops
+            # out ≈ 8 MB here, comfortably inside VMEM with the single-pass
+            # kernel's zero scratch.
+            block_q = n_pad
+        else:
+            # largest row block ≤768 (sublane-aligned) that divides n_pad
+            block_q = max(
+                bq for bq in range(8, min(n_pad, 768) + 1, 8) if n_pad % bq == 0
+            )
     else:
         block_q, block_k = 512, 512
         n_pad = _round_up(n, 512)
