@@ -36,8 +36,74 @@ class DTypeDense(nn.Module):
         return y
 
 
+def _pad128(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def _s2d_profitable(cin: int, cout: int) -> bool:
+    """True when the space-to-depth formulation beats XLA's lane padding.
+
+    The MXU pads both channel dims to 128 lanes, so a small-channel conv
+    computes ``pad(cin)·pad(cout)`` MACs per pixel instead of ``cin·cout``
+    (16× waste at 32→32 — measured 18.7 ms vs ~1 ms floor for the DPT
+    output stack, docs/PERFORMANCE.md).  Packing 2×2 pixels into channels
+    quadruples both dims and quarters the pixels: cost ratio
+    ``pad(4cin)·pad(4cout)/4`` vs ``pad(cin)·pad(cout)``."""
+    return _pad128(4 * cin) * _pad128(4 * cout) // 4 < _pad128(cin) * _pad128(cout)
+
+
+def _s2d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) conv kernel → its (3, 3, 4Ci, 4Co) space-to-depth
+    equivalent.  Packed channel order is (sub_y, sub_x, c); output sub-pixel
+    (dy, dx) reading tap (ty, tx) hits original row ``u = 2·oy + sy`` with
+    ``u = dy + ty − 1``, so each (cell-offset, sub-in, sub-out) block is a
+    plain copy of one tap — zeros elsewhere (the packed conv runs 4× the
+    true MACs instead of XLA's 16× lane padding at 32 channels)."""
+    ci, co = kernel.shape[2], kernel.shape[3]
+    out = jnp.zeros((3, 3, 4 * ci, 4 * co), dtype=kernel.dtype)
+    for dy in range(2):
+        for ty in range(3):
+            u = dy + ty - 1
+            oy, sy = u // 2, u % 2
+            for dx in range(2):
+                for tx in range(3):
+                    v = dx + tx - 1
+                    ox, sx = v // 2, v % 2
+                    out = out.at[
+                        oy + 1,
+                        ox + 1,
+                        (sy * 2 + sx) * ci : (sy * 2 + sx + 1) * ci,
+                        (dy * 2 + dx) * co : (dy * 2 + dx + 1) * co,
+                    ].set(kernel[ty, tx])
+    return out
+
+
+def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    n, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h2, w2, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h2 * 2, w2 * 2, c)
+
+
 class Conv2d(nn.Module):
-    """NHWC conv with torch-compatible hyper-parameters."""
+    """NHWC conv with torch-compatible hyper-parameters.
+
+    Note on small-channel convs: the MXU pads both channel dims to 128
+    lanes, so the 32-channel DPT output stack computes ~16× its true MACs.
+    A space-to-depth reformulation (``_s2d_kernel`` below, exact and
+    checkpoint-transparent) cuts that to 4× — but measured END-TO-END it
+    LOSES: the three (B·T, 518, 518, 32)-scale pack/unpack relayouts around
+    the resize cost more than the conv savings (vits window 117 → 134 ms).
+    Kept as tested helpers for a future packed-end-to-end output stack
+    (pack once before output_conv1, packed resize, unpack after conv2)."""
 
     features: int
     kernel_size: int
