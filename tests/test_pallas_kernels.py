@@ -113,3 +113,36 @@ def test_temporal_kernel_bf16(rng):
         dtype=np.float32,
     )
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_temporal_kernel_grads_match_einsum(rng):
+    """Training must differentiate through the Pallas temporal kernel: the
+    custom VJP (einsum backward) has to match autodiff of the XLA path."""
+    from video_depth_anything_tpu.ops.pallas_temporal import (
+        temporal_attention_window,
+    )
+
+    t, s, c, heads = 8, 36, 128, 4
+    scale = (c // heads) ** -0.5
+    q = jnp.asarray(rng.randn(1, t, s, c).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.randn(1, t, s, c).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.randn(1, t, s, c).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, t, s, c).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_temporal_reference(q, k, v, heads, scale) * g)
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(
+            temporal_attention_window(
+                q, k, v, heads=heads, scale=scale, interpret=True
+            )
+            * g
+        )
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    for w, gg in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(w), rtol=2e-3, atol=2e-3
+        )

@@ -114,6 +114,37 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _attention_bwd_math(q, k, v, g, heads: int, scale: float):
+    """XLA einsum backward for per-location frame attention (used as the
+    custom VJP of the Pallas forward: at T=32 the dense recompute is cheap
+    and keeps training differentiable through the kernel)."""
+    b, t, s, c = q.shape
+    d = c // heads
+    f32 = jnp.float32
+    q5 = q.reshape(b, t, s, heads, d)
+    k5 = k.reshape(b, t, s, heads, d)
+    v5 = v.reshape(b, t, s, heads, d)
+    g5 = g.reshape(b, t, s, heads, d)
+    scores = jnp.einsum(
+        "bqshd,bkshd->bshqk", q5, k5, preferred_element_type=f32
+    ) * f32(scale)
+    p = jax.nn.softmax(scores, axis=-1)
+    dv = jnp.einsum("bshqk,bqshd->bkshd", p.astype(g.dtype), g5,
+                    preferred_element_type=f32).astype(v.dtype)
+    dp = jnp.einsum("bqshd,bkshd->bshqk", g5, v5, preferred_element_type=f32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = (ds * f32(scale)).astype(q.dtype)
+    dq = jnp.einsum("bshqk,bkshd->bqshd", ds, k5,
+                    preferred_element_type=f32).astype(q.dtype)
+    dk = jnp.einsum("bshqk,bqshd->bkshd", ds, q5,
+                    preferred_element_type=f32).astype(k.dtype)
+    return (
+        dq.reshape(b, t, s, c),
+        dk.reshape(b, t, s, c),
+        dv.reshape(b, t, s, c),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -135,7 +166,8 @@ def temporal_attention_window(
 
     ``q, k, v: (B, T, S, C)`` → ``(B, T, S, C)``; softmax over the T (key)
     axis independently for each (location, head).  Matches
-    ``TemporalSelfAttention._attend`` within bf16 tolerance.
+    ``TemporalSelfAttention._attend`` within bf16 tolerance; differentiable
+    (Pallas forward, einsum backward).
     """
     b, t, s, c = q.shape
     head_dim = c // heads
@@ -155,35 +187,49 @@ def temporal_attention_window(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    seg, expand = _segment_matrices(c_grp, head_dim, np.float32)
-    seg = jnp.asarray(seg, dtype=q.dtype)
-    expand = jnp.asarray(expand, dtype=q.dtype)
+    def forward(q, k, v):
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        seg, expand = _segment_matrices(c_grp, head_dim, np.float32)
+        seg = jnp.asarray(seg, dtype=q.dtype)
+        expand = jnp.asarray(expand, dtype=q.dtype)
 
-    kernel = functools.partial(
-        _temporal_kernel, t=t, head_dim=head_dim, reduce_impl=reduce_impl
-    )
-    grid = (b, s_pad // block_s, c // c_grp)
-    qkv_spec = pl.BlockSpec(
-        (1, t, block_s, c_grp), lambda bi, si, ci: (bi, 0, si, ci)
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            qkv_spec,
-            qkv_spec,
-            qkv_spec,
-            pl.BlockSpec((c_grp, _LANES), lambda bi, si, ci: (0, 0)),
-            pl.BlockSpec((_LANES, c_grp), lambda bi, si, ci: (0, 0)),
-        ],
-        out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
-        ),
-        interpret=interpret,
-    )(q, k, v, seg, expand)
+        kernel = functools.partial(
+            _temporal_kernel, t=t, head_dim=head_dim, reduce_impl=reduce_impl
+        )
+        grid = (b, s_pad // block_s, c // c_grp)
+        qkv_spec = pl.BlockSpec(
+            (1, t, block_s, c_grp), lambda bi, si, ci: (bi, 0, si, ci)
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                qkv_spec,
+                qkv_spec,
+                qkv_spec,
+                pl.BlockSpec((c_grp, _LANES), lambda bi, si, ci: (0, 0)),
+                pl.BlockSpec((_LANES, c_grp), lambda bi, si, ci: (0, 0)),
+            ],
+            out_specs=qkv_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(qs, k, v, seg, expand)
+
+    @jax.custom_vjp
+    def attn(q, k, v):
+        return forward(q, k, v)
+
+    def attn_fwd(q, k, v):
+        return forward(q, k, v), (q, k, v)
+
+    def attn_bwd(res, g):
+        return _attention_bwd_math(*res, g, heads=heads, scale=scale)
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    out = attn(q, k, v)
     if s_pad != s:
         out = out[:, :, :s]
     return out
