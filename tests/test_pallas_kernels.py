@@ -146,3 +146,36 @@ def test_temporal_kernel_grads_match_einsum(rng):
         np.testing.assert_allclose(
             np.asarray(gg), np.asarray(w), rtol=2e-3, atol=2e-3
         )
+
+
+def test_spatial_flash_grads_match_xla(rng):
+    """Training differentiates through the spatial flash kernel (encoder
+    remat included): custom VJP must match autodiff of the dense path."""
+    b, n, h, d = 1, 300, 2, 64
+    scale = d**-0.5
+    q = jnp.asarray(rng.randn(b, n, h, d).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.randn(b, n, h, d).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.randn(b, n, h, d).astype(np.float32))
+    g = jnp.asarray(rng.randn(b, n, h, d).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) * g)
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(
+            spatial_flash_attention(q, k, v, scale, interpret=True) * g
+        )
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    for w, gg in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(w), rtol=2e-3, atol=2e-3
+        )
+
+    # and under remat, as the trainer wraps the encoder
+    got_r = jax.grad(jax.checkpoint(loss_kernel), argnums=(0, 1, 2))(q, k, v)
+    for w, gg in zip(want, got_r):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(w), rtol=2e-3, atol=2e-3
+        )

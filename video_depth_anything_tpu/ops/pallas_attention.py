@@ -144,18 +144,76 @@ def flash_attention_bhnd(
     softmax_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """``q, k, v: (BH, Np, D)`` (Np % block == 0) → ``(BH, Np, D)``.
+    """``q: (BH, Nq, D)``, ``k, v: (BH, Nk, D)`` (each N a multiple of its
+    block) → ``(BH, Nq, D)``.  ``Nq`` may be padded less than ``Nk`` (query
+    rows only need sublane alignment; key columns need lane alignment) —
+    every padded q row is pure wasted VPU work in the softmax chain.
 
     ``block_k=0`` means "whole kv row in one block" (preferred while the
     fp32 score tile fits VMEM)."""
-    bh, n_pad, d = q.shape
+    bh, n_pad_q, d = q.shape
+    n_pad = k.shape[1]
     if block_k == 0:
         block_k = n_pad
-    block_q = min(block_q, n_pad)
+    block_q = min(block_q, n_pad_q)
     block_k = min(block_k, n_pad)
-    num_q = n_pad // block_q
+    num_q = n_pad_q // block_q
     num_k = n_pad // block_k
 
+    @jax.custom_vjp
+    def attn(q, k, v):
+        return _flash_forward(
+            q, k, v,
+            scale=scale, n_valid=n_valid, block_q=block_q, block_k=block_k,
+            num_q=num_q, num_k=num_k, softmax_dtype=softmax_dtype,
+            interpret=interpret,
+        )
+
+    def attn_fwd(q, k, v):
+        return attn(q, k, v), (q, k, v)
+
+    def attn_bwd(res, g):
+        # Dense einsum backward (training path): recomputes the masked
+        # softmax instead of saving the score tensor.  Fine at training
+        # resolutions; a flash backward kernel is a roadmap item for
+        # full-res fine-tuning (the (BH, N, N) fp32 probabilities are the
+        # memory cost here).
+        q, k, v = res
+        f32 = jnp.float32
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        ) * f32(scale)
+        if n_valid < num_k * block_k:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < n_valid, s, _NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        pv = p.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            pv, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32
+        ).astype(v.dtype)
+        dp = jax.lax.dot_general(
+            g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * f32(scale)).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
+        ).astype(q.dtype)
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32
+        ).astype(k.dtype)
+        return dq, dk, dv
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn(q, k, v)
+
+
+def _flash_forward(
+    q, k, v, *, scale, n_valid, block_q, block_k, num_q, num_k,
+    softmax_dtype, interpret,
+):
+    bh, n_pad_q, d = q.shape
+    n_pad = k.shape[1]
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     if num_k == 1:
@@ -232,34 +290,39 @@ def spatial_flash_attention(
         n_pad = _round_up(n, 128)
         block_k = n_pad
         if n_pad <= 1408:
-            # whole-row q block: one program per (batch·head) — measured
+            # Whole-row q block: one program per (batch·head) — measured
             # fastest at the vitl shape (7.44 vs 7.62 ms at block_q 704,
-            # docs/PERFORMANCE.md); the (n_pad, n_pad) fp32 score tile tops
-            # out ≈ 8 MB here, comfortably inside VMEM with the single-pass
-            # kernel's zero scratch.
-            block_q = n_pad
+            # docs/PERFORMANCE.md); the fp32 score tile tops out ≈ 8 MB,
+            # comfortably inside VMEM with the single-pass kernel's zero
+            # scratch.  Query rows only need sublane (16) alignment — 1376
+            # instead of 1408 at N=1370 trims 2.3% off the VPU-bound
+            # softmax chain (pad columns still need the lane-aligned 1408).
+            n_pad_q = _round_up(n, 16)
+            block_q = n_pad_q
         else:
             # largest row block ≤768 (sublane-aligned) that divides n_pad
+            n_pad_q = n_pad
             block_q = max(
                 bq for bq in range(8, min(n_pad, 768) + 1, 8) if n_pad % bq == 0
             )
     else:
         block_q, block_k = 512, 512
         n_pad = _round_up(n, 512)
+        n_pad_q = n_pad
 
     # (B, N, H, D) -> (B*H, N, D): Mosaic requires the last two block dims
     # to be (8, 128)-divisible, which rules out per-head blocking of the
     # native layout; the transposes cost ~2 ms at the vitl shape.
-    def to_bhnd(x):
+    def to_bhnd(x, pad_to):
         x = x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-        if n_pad != n:
-            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        if pad_to != n:
+            x = jnp.pad(x, ((0, 0), (0, pad_to - n), (0, 0)))
         return x
 
     out = flash_attention_bhnd(
-        to_bhnd(q),
-        to_bhnd(k),
-        to_bhnd(v),
+        to_bhnd(q, n_pad_q),
+        to_bhnd(k, n_pad),
+        to_bhnd(v, n_pad),
         scale=scale,
         n_valid=n,
         block_q=block_q,
