@@ -33,7 +33,25 @@ def read_video_frames(
     semantics, ``dc_utils.py:30-33``); ``target_fps`` selects every
     ``round(src_fps/target_fps)``-th frame; ``max_res`` downscales so the
     longer side is at most that many (even) pixels.
+
+    Decodes through the native C++ stage (``native/decode.cpp``, libav +
+    swscale with in-loop striding) unless ``VDA_NATIVE_DECODE=0``; this cv2
+    loop is the parity fallback (the reference's own fallback decoder,
+    ``dc_utils.py:39-67``).
     """
+    import os
+
+    if os.environ.get("VDA_NATIVE_DECODE", "1") != "0":
+        from video_depth_anything_tpu.io.native_video import (
+            read_video_frames_native,
+        )
+
+        out = read_video_frames_native(
+            video_path, process_length, target_fps, max_res
+        )
+        if out is not None:
+            return out
+
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {video_path}")
