@@ -19,10 +19,12 @@ Tuning notes (measured on v5e through this repo's bench scripts):
   (~0.3% relative output change; fp32 default bit-matches the XLA
   reference within 1e-3).
 
-Shape contract: ``q, k, v : (BH, N_padded, D)`` with ``N_padded`` a
-multiple of the block size; ``n_valid`` marks the real token count and the
-tail columns are masked to −∞ (pad *rows* compute garbage that the wrapper
-slices off).  ``try_spatial_attention`` adapts the model's ``(..., N, H,
+Shape contract: ``q: (BH, Nq_pad, D)``, ``k, v: (BH, Nk_pad, D)``;
+``n_valid`` marks the real token count.  Pad handling costs nothing per
+element: V is augmented with a ones column (zero on pad rows) so the PV
+GEMM emits ``[acc | Σp]`` in its otherwise-idle output lanes — no mask
+pass, no row-sum pass, no scratch for ``l`` (pad *rows* compute garbage
+that the wrapper slices off).  ``try_spatial_attention`` adapts the model's ``(..., N, H,
 D)`` layout, pads, dispatches, and falls back (returns ``None``) for
 shapes the kernel does not cover.
 """
@@ -33,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -46,19 +49,20 @@ def _flash_kernel(
     o_ref,
     acc_ref,
     m_ref,
-    l_ref,
     *,
-    n_valid,
-    block_k,
+    d,
     num_k,
     softmax_dtype,
 ):
+    """Streaming-KV flash kernel.  The softmax row sum rides the ones
+    column of the augmented V (lane ``d``) through the PV GEMM — it is just
+    one more accumulator lane, rescaled by the same online ``alpha``; the
+    classic l scratch/row-sum pass does not exist."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]  # pre-scaled by the wrapper
@@ -66,21 +70,11 @@ def _flash_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    n_pad = num_k * block_k - n_valid
 
     m_prev = m_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     p = jnp.exp((s - m_new).astype(softmax_dtype))
-    row_sum = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-    # Pad columns are exact zeros of K (score 0, so m_new ≥ 0 on the padded
-    # block): instead of a per-element ``where`` over the whole score tile,
-    # subtract their contribution n_pad·exp(−m) from the row sum.  Pad rows
-    # of V are zero, so the accumulator needs no correction at all.
-    if n_pad > 0:
-        last = (ki == num_k - 1).astype(jnp.float32)
-        row_sum = row_sum - (last * n_pad) * jnp.exp(-m_new)
     alpha = jnp.exp(m_prev - m_new)
-    l_ref[:] = jnp.broadcast_to(alpha * l_ref[:, :1] + row_sum, l_ref.shape)
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype),
@@ -91,7 +85,7 @@ def _flash_kernel(
 
     @pl.when(ki == num_k - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:, :d] / acc_ref[:, d : d + 1]).astype(o_ref.dtype)
 
 
 def _flash_kernel_single(
@@ -100,32 +94,33 @@ def _flash_kernel_single(
     v_ref,
     o_ref,
     *,
-    n_valid,
-    n_pad_cols,
+    d,
     softmax_dtype,
 ):
     """Whole-KV-row specialization (the tuned config at N≈1370): a plain
     single-pass softmax with no online-update state and no scratch traffic.
-    The max/sub/exp/sum chain over the fp32 score tile dominates (VPU-bound,
-    docs/PERFORMANCE.md), so every saved elementwise pass counts: pad
-    columns are handled by the analytic row-sum correction above instead of
-    a ``where`` + iota pass, and m ≥ 0 holds whenever the row is padded."""
+    The max/sub/exp chain over the fp32 score tile dominates (VPU-bound,
+    docs/PERFORMANCE.md), so every saved elementwise pass counts:
+
+    * no mask pass — V carries a ones column (lane ``d``) that is zero on
+      pad rows, so pad key columns contribute to neither the accumulator
+      nor the row sum;
+    * no row-sum pass — the ones column makes the PV GEMM emit
+      ``[acc | Σp]`` in the same MXU passes (the d=64 output only filled
+      half the 128 output lanes anyway)."""
     q = q_ref[0]  # pre-scaled by the wrapper
     s = jax.lax.dot_general(
         q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp((s - m).astype(softmax_dtype))
-    l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-    if n_pad_cols > 0:
-        l = l - jnp.float32(n_pad_cols) * jnp.exp(-m)
     acc = jax.lax.dot_general(
         p.astype(v_ref.dtype),
         v_ref[0],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc[:, :d] / acc[:, d : d + 1]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -216,12 +211,22 @@ def _flash_forward(
     n_pad = k.shape[1]
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
+    # Augment V with a ones column at lane d (zero on pad rows): the PV
+    # GEMM then emits [acc | Σp] in the same MXU passes (d=64 output lanes
+    # were half-empty), removing both the fp32 row-sum pass over the score
+    # tile and any pad handling.  Requires a spare output lane (d % 128).
+    assert d % 128 != 0, "augmented-V flash kernel needs a spare lane"
+    dv = _round_up(d + 1, 128)
+    valid = np.arange(n_pad) < n_valid
+    ones_col = jnp.broadcast_to(
+        jnp.asarray(valid, v.dtype)[None, :, None], (bh, n_pad, 1)
+    )
+    pad_lanes = jnp.zeros((bh, n_pad, dv - d - 1), v.dtype)
+    v = jnp.concatenate([v, ones_col, pad_lanes], axis=2)
+
     if num_k == 1:
         kernel = functools.partial(
-            _flash_kernel_single,
-            n_valid=n_valid,
-            n_pad_cols=n_pad - n_valid,
-            softmax_dtype=softmax_dtype,
+            _flash_kernel_single, d=d, softmax_dtype=softmax_dtype
         )
         return pl.pallas_call(
             kernel,
@@ -229,10 +234,10 @@ def _flash_forward(
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda b, qi: (b, qi, 0)),
                 pl.BlockSpec((1, block_k, d), lambda b, qi: (b, 0, 0)),
-                pl.BlockSpec((1, block_k, d), lambda b, qi: (b, 0, 0)),
+                pl.BlockSpec((1, block_k, dv), lambda b, qi: (b, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi: (b, qi, 0)),
-            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            out_shape=jax.ShapeDtypeStruct((bh, n_pad_q, d), q.dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
             ),
@@ -240,11 +245,7 @@ def _flash_forward(
         )(q, k, v)
 
     kernel = functools.partial(
-        _flash_kernel,
-        n_valid=n_valid,
-        block_k=block_k,
-        num_k=num_k,
-        softmax_dtype=softmax_dtype,
+        _flash_kernel, d=d, num_k=num_k, softmax_dtype=softmax_dtype
     )
     return pl.pallas_call(
         kernel,
@@ -252,13 +253,12 @@ def _flash_forward(
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad_q, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -338,6 +338,7 @@ def try_spatial_attention(q, k, v, scale):
     if q.ndim != 4:
         return None
     b, n, h, d = q.shape
-    if d % 64 != 0 or n < 256:
+    if d % 64 != 0 or d % 128 == 0 or n < 256:
+        # d % 128 == 0 would leave no spare lane for the augmented-V row sum
         return None
     return spatial_flash_attention(q, k, v, scale)
