@@ -49,10 +49,9 @@ def main():
         return float(jnp.sum(out[0, :2, :2].astype(jnp.float32)))
 
     for block_q, sm in [
-        (352, "f32"),
-        (704, "f32"),
         (1408, "f32"),
-        (704, "bf16"),
+        (1408, "bf16"),  # with the augmented-V row sum the bf16 softmax
+                          # also skips the separate p cast — retest
     ]:
         sm_dtype = jnp.float32 if sm == "f32" else jnp.bfloat16
         try:

@@ -16,6 +16,7 @@ from video_depth_anything_tpu.ops.pallas_attention import spatial_flash_attentio
         (2, 300, 2, 64),     # pad 300 -> 384/512 path
         (1, 1370, 3, 64),    # the real ViT shape (518²)
         (2, 512, 2, 64),     # exact multiple
+        (1, 2500, 2, 64),    # > 2048: streaming-KV multi-block kernel
     ],
 )
 def test_flash_matches_xla(rng, b, n, h, d):
