@@ -33,6 +33,102 @@ def test_flash_matches_xla(rng, b, n, h, d):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize(
+    "n",
+    [
+        300,    # single-pass padded path
+        1370,   # the real ViT shape
+        2500,   # streaming-KV multi-block fast kernel (no-rescale accumulate)
+    ],
+)
+def test_flash_fast_softmax_matches_xla(rng, n):
+    # The no-max exp2 softmax is the same quotient as the exact path as
+    # long as scaled logits stay in fp32's exp2 domain; on these inputs
+    # (|raw logits| ≲ 40·scale) it must agree to normal tolerance.
+    b, h, d = 1, 2, 64
+    q = rng.randn(b, n, h, d).astype(np.float32) * 0.5
+    k = rng.randn(b, n, h, d).astype(np.float32) * 0.5
+    v = rng.randn(b, n, h, d).astype(np.float32)
+    scale = d**-0.5
+    want = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))
+    got = np.asarray(
+        spatial_flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale,
+            fast_softmax=True, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_fast_softmax_large_logits(rng):
+    # Adversarial logit magnitudes: scaled scores near ±60 (raw q·k ~ ±480)
+    # still stay inside the exp2 domain and must not produce inf/nan.
+    b, n, h, d = 1, 256, 1, 64
+    q = rng.randn(b, n, h, d).astype(np.float32) * 4.0
+    k = rng.randn(b, n, h, d).astype(np.float32) * 4.0
+    v = rng.randn(b, n, h, d).astype(np.float32)
+    scale = d**-0.5
+    want = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))
+    got = np.asarray(
+        spatial_flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale,
+            fast_softmax=True, interpret=True,
+        )
+    )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("n,h,fast", [(300, 2, False), (1370, 6, False), (700, 4, True)])
+def test_flash_native_layout_matches_xla(rng, n, h, fast):
+    from video_depth_anything_tpu.ops.pallas_attention import flash_attention_native
+
+    b, d = 2, 64
+    q = rng.randn(b, n, h, d).astype(np.float32) * 0.5
+    k = rng.randn(b, n, h, d).astype(np.float32) * 0.5
+    v = rng.randn(b, n, h, d).astype(np.float32)
+    scale = d**-0.5
+    want = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))
+    got = np.asarray(
+        flash_attention_native(
+            jnp.asarray(q.reshape(b, n, h * d)),
+            jnp.asarray(k.reshape(b, n, h * d)),
+            jnp.asarray(v.reshape(b, n, h * d)),
+            scale=scale, n_valid=n, num_heads=h, fast_softmax=fast,
+            interpret=True,
+        )
+    ).reshape(b, n, h, d)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_native_grads_match_xla(rng):
+    from video_depth_anything_tpu.ops.pallas_attention import flash_attention_native
+
+    b, n, h, d = 1, 300, 2, 64
+    q = jnp.asarray(rng.randn(b, n, h * d).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.randn(b, n, h * d).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.randn(b, n, h * d).astype(np.float32))
+    g = jnp.asarray(rng.randn(b, n, h * d).astype(np.float32))
+    scale = d**-0.5
+
+    def ref_loss(q, k, v):
+        out = _xla_attention(
+            q.reshape(b, n, h, d), k.reshape(b, n, h, d), v.reshape(b, n, h, d), scale
+        )
+        return jnp.sum(out.reshape(b, n, h * d) * g)
+
+    def ker_loss(q, k, v):
+        out = flash_attention_native(
+            q, k, v, scale=scale, n_valid=n, num_heads=h, interpret=True
+        )
+        return jnp.sum(out * g)
+
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(ker_loss, argnums=(0, 1, 2))(q, k, v)
+    for w, gt in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(w), rtol=2e-3, atol=2e-3)
+
+
 def test_flash_bf16(rng):
     b, n, h, d = 1, 300, 2, 64
     q = (rng.randn(b, n, h, d) * 0.5).astype(jnp.bfloat16)

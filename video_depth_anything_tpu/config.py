@@ -79,6 +79,13 @@ class ModelConfig:
     # vits (docs/PERFORMANCE.md).  In fp32 model mode everything is fp32
     # anyway; set True to force the cast in mixed precision.
     fp32_head_island: bool = False
+    # Run the DPT output stack (output_conv1 → 296→518 resize → output_conv2)
+    # in a 2×2 space-to-depth layout where the packed convs beat XLA's
+    # 128-lane channel padding (vits/vitb; vitl is already lane-full and
+    # stays unpacked).  Exact and checkpoint-transparent — same parameters,
+    # transformed kernels (models/layers._s2d_kernel), phase-split resize
+    # GEMMs (ops/resize.bilinear_resize_packed).
+    packed_output_stack: bool = True
 
     @property
     def head_in_channels(self) -> int:

@@ -34,9 +34,16 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from video_depth_anything_tpu.config import ModelConfig
-from video_depth_anything_tpu.models.layers import Conv2d, Deconv2dPixelShuffle, DTypeDense
+from video_depth_anything_tpu.models.layers import (
+    Conv2d,
+    Deconv2dPixelShuffle,
+    DTypeDense,
+    _depth_to_space,
+    _s2d_profitable,
+    _space_to_depth,
+)
 from video_depth_anything_tpu.models.temporal import TemporalModule
-from video_depth_anything_tpu.ops.resize import bilinear_resize
+from video_depth_anything_tpu.ops.resize import bilinear_resize, bilinear_resize_packed
 
 
 class ResidualConvUnit(nn.Module):
@@ -138,7 +145,45 @@ class DPTHeadTemporal(nn.Module):
         l4 = self.resize_3(self.project_3(to_map(features[3])))
         return l1, l2, l3, l4
 
+    def _packed_plan(self) -> Optional[str]:
+        """Where to switch the output stack into the 2×2 space-to-depth
+        layout (exact, checkpoint-transparent — see layers._s2d_kernel).
+        The small-channel convs of the stack pay up to 16× MXU lane padding
+        unpacked (docs/PERFORMANCE.md); packing cuts that to 4× but only
+        pays where ``_s2d_profitable``:
+
+        * "pre" — before output_conv1 (vits: 64→32 conv gains too),
+        * "post" — after output_conv1 (vitb: 128→64 would lose, 64→32 gains),
+        * None — stay unpacked (vitl: already lane-full).
+
+        The resize runs packed either way (``bilinear_resize_packed``: same
+        taps/FLOPs, no relayout), so the only added relayouts are one pack at
+        296²-scale and the 4→1-channel unpack of the final depth map."""
+        if not self.cfg.packed_output_stack:
+            return None
+        f = self.cfg.features
+        if _s2d_profitable(f, f // 2):
+            return "pre"
+        if _s2d_profitable(f // 2, 32):
+            return "post"
+        return None
+
     def _output_head(self, path1: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+        plan = self._packed_plan()
+        if plan is not None and path1.shape[-3] % 2 == 0 and path1.shape[-2] % 2 == 0:
+            if plan == "pre":
+                out = self.output_conv1(_space_to_depth(path1), packed=True)
+            else:
+                out = _space_to_depth(self.output_conv1(path1))
+            out = bilinear_resize_packed(out, ph * 14, pw * 14)
+            if self.cfg.fp32_head_island:
+                out = out.astype(jnp.float32)
+            out = self.output_conv2_0(out, packed=True)
+            out = nn.relu(out)
+            out = self.output_conv2_2(out, packed=True)
+            out = nn.relu(out)
+            # unpack the (N, 7ph, 7pw, 4) depth map to (N, 14ph, 14pw, 1)
+            return _depth_to_space(out)
         out = self.output_conv1(path1)
         out = bilinear_resize(out, ph * 14, pw * 14)
         if self.cfg.fp32_head_island:

@@ -59,6 +59,15 @@ def _s2d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     ``u = dy + ty − 1``, so each (cell-offset, sub-in, sub-out) block is a
     plain copy of one tap — zeros elsewhere (the packed conv runs 4× the
     true MACs instead of XLA's 16× lane padding at 32 channels)."""
+    if kernel.shape[0] == kernel.shape[1] == 1:
+        # 1×1 conv: each sub-pixel maps to itself — block-diagonal kernel.
+        ci, co = kernel.shape[2], kernel.shape[3]
+        out = jnp.zeros((1, 1, 4 * ci, 4 * co), dtype=kernel.dtype)
+        for sub in range(4):
+            out = out.at[
+                0, 0, sub * ci : (sub + 1) * ci, sub * co : (sub + 1) * co
+            ].set(kernel[0, 0])
+        return out
     ci, co = kernel.shape[2], kernel.shape[3]
     out = jnp.zeros((3, 3, 4 * ci, 4 * co), dtype=kernel.dtype)
     for dy in range(2):
@@ -112,23 +121,37 @@ class Conv2d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_ch = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, packed: bool = False) -> jnp.ndarray:
+        """``packed=True`` applies the same parameters to a 2×2 space-to-
+        depth-packed input (4·C_in channels) and returns a packed output
+        (4·C_out) — exact, checkpoint-transparent (the parameter keeps its
+        unpacked shape/name).  Only defined for the shapes the s2d transform
+        covers: 3×3/stride 1/pad 1 and 1×1/stride 1/pad 0."""
+        in_ch = x.shape[-1] // 4 if packed else x.shape[-1]
         k = self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (k, k, in_ch, self.features)
         )
+        kernel = kernel.astype(x.dtype)
+        if packed:
+            assert self.stride == 1 and (
+                (k == 3 and self.padding == 1) or (k == 1 and self.padding == 0)
+            ), "packed conv needs 3x3/s1/p1 or 1x1"
+            kernel = _s2d_kernel(kernel)
         pad = ((self.padding, self.padding), (self.padding, self.padding))
         y = jax.lax.conv_general_dilated(
             x,
-            kernel.astype(x.dtype),
+            kernel,
             window_strides=(self.stride, self.stride),
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias.astype(x.dtype)
+            bias = bias.astype(x.dtype)
+            if packed:
+                bias = jnp.tile(bias, 4)
+            y = y + bias
         return y
 
 

@@ -118,14 +118,15 @@ class TemporalSelfAttention(nn.Module):
         # wins at head_dim 32 with large S (m3: 11.2 vs 13.8 ms) — "auto"
         # dispatches per shape accordingly; "pallas" forces the kernel for
         # every supported shape.
-        if self.attn_impl in ("auto", "pallas") and q.shape == k.shape:
+        base_impl = self.attn_impl.partition(":")[0]
+        if base_impl in ("auto", "pallas") and q.shape == k.shape:
             from video_depth_anything_tpu.ops.pallas_temporal import (
                 try_temporal_attention,
             )
 
             out = try_temporal_attention(
                 q, k, v, heads=heads, scale=head_dim**-0.5,
-                auto=self.attn_impl == "auto",
+                auto=base_impl == "auto",
             )
             if out is not None:
                 return self.to_out(out)

@@ -54,16 +54,23 @@ def multi_head_attention(
 
     ``impl``: "xla" (dense, compiler-fused), "pallas" (hand-written flash
     kernel; falls back to "xla" for unsupported shapes), or "auto"
-    (pallas on TPU, xla elsewhere).
+    (pallas on TPU, xla elsewhere).  A ``:fast`` suffix (e.g. "auto:fast")
+    selects the no-max exp2 softmax in the Pallas kernel — exact softmax
+    quotient as long as scaled logits stay inside fp32's exp2 domain
+    (±88; see ops/pallas_attention.py), skipping two VPU passes per score
+    element.
     """
     head_dim = q.shape[-1]
     scale = head_dim**-0.5
+    impl, _, variant = impl.partition(":")
     if impl == "auto":
         impl = "pallas"
     if impl == "pallas":
         from video_depth_anything_tpu.ops import flash_attention
 
-        out = flash_attention.try_flash_attention(q, k, v, scale)
+        out = flash_attention.try_flash_attention(
+            q, k, v, scale, fast_softmax=variant == "fast"
+        )
         if out is not None:
             return out
     return _xla_attention(q, k, v, scale)

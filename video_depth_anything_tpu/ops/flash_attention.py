@@ -22,10 +22,12 @@ def _on_tpu() -> bool:
         return False
 
 
-def try_flash_attention(q, k, v, scale):
+def try_flash_attention(q, k, v, scale, fast_softmax: bool = False):
     """Dispatch to a Pallas kernel when one fits; ``None`` → XLA fallback."""
     if not _on_tpu():
         return None
     from video_depth_anything_tpu.ops import pallas_attention
 
-    return pallas_attention.try_spatial_attention(q, k, v, scale)
+    return pallas_attention.try_spatial_attention(
+        q, k, v, scale, fast_softmax=fast_softmax
+    )

@@ -28,6 +28,7 @@ import numpy as np
 
 __all__ = [
     "bilinear_resize",
+    "bilinear_resize_packed",
     "bicubic_pos_embed_resize",
     "linear_weight_matrix",
     "cubic_weight_matrix",
@@ -116,6 +117,34 @@ def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return _apply_separable(
         x, linear_weight_matrix(h, out_h), linear_weight_matrix(w, out_w)
     )
+
+
+def bilinear_resize_packed(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """``bilinear_resize`` on a 2×2 space-to-depth-packed map, staying packed.
+
+    ``x``: ``(..., H/2, W/2, 4C)`` with channel order ``(sub_y, sub_x, c)``
+    (the ``models.layers._space_to_depth`` convention); ``out_h``/``out_w``
+    are the **unpacked** target sizes (must be even).  Returns the packed
+    ``(..., out_h/2, out_w/2, 4C)`` equivalent of unpack→resize→repack,
+    without the two (B·T, H, W, C)-scale relayouts: the 1-D weight matrix is
+    phase-split into four ``(out/2, in/2)`` blocks ``W[2o+r, 2u+s]`` and
+    applied per (input-phase, output-phase) pair — same taps, same fp32
+    arithmetic, same total FLOPs as the unpacked GEMMs.
+    """
+    h2, w2, c4 = x.shape[-3], x.shape[-2], x.shape[-1]
+    if 2 * h2 == out_h and 2 * w2 == out_w:
+        return x
+    assert out_h % 2 == 0 and out_w % 2 == 0, (out_h, out_w)
+    c = c4 // 4
+    wh = linear_weight_matrix(2 * h2, out_h).reshape(out_h // 2, 2, h2, 2)
+    ww = linear_weight_matrix(2 * w2, out_w).reshape(out_w // 2, 2, w2, 2)
+    dtype = x.dtype
+    lead = x.shape[:-3]
+    x6 = x.reshape(lead + (h2, w2, 2, 2, c)).astype(jnp.float32)
+    # rows: contract (u, sub_y); cols: contract (w, sub_x)
+    y = jnp.einsum("orus,...uwstc->...owrtc", jnp.asarray(wh), x6)
+    y = jnp.einsum("pqwt,...owrtc->...oprqc", jnp.asarray(ww), y)
+    return y.reshape(lead + (out_h // 2, out_w // 2, 4 * c)).astype(dtype)
 
 
 def bicubic_pos_embed_resize(
