@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shape_bucket", type=int, default=None,
                    help="snap model resolution to multiples of this (x14) to bound recompiles")
     # parallelism
+    p.add_argument("--attn_impl", type=str, default="auto",
+                   help="attention implementation: auto|xla|pallas, with an "
+                        "optional :fast suffix (e.g. auto:fast) selecting the "
+                        "no-max exp2 softmax in the Pallas kernel — exact "
+                        "while attention logits stay inside fp32's exp2 "
+                        "domain (±88; docs/PERFORMANCE.md)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard frame windows over all local devices")
     return p
@@ -79,7 +85,7 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             get_model_config(args.encoder), fp32_head_island=True
         )
-    model = VDAModel(args.encoder, dtype=dtype, cfg=cfg)
+    model = VDAModel(args.encoder, dtype=dtype, attn_impl=args.attn_impl, cfg=cfg)
     if args.random_init:
         model.init_params(jax.random.PRNGKey(0))
     else:
