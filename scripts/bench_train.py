@@ -24,6 +24,7 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--size", type=int, default=266)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--train_encoder", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -38,9 +39,12 @@ def main(argv=None):
     mesh = create_mesh()
     trainer = Trainer(
         model.module,
-        optimizer=make_optimizer(learning_rate=1e-4),
+        optimizer=make_optimizer(
+            learning_rate=1e-4, train_encoder=args.train_encoder
+        ),
         mesh=mesh,
         compute_dtype=jnp.bfloat16,
+        train_encoder=args.train_encoder,
     )
     state = trainer.init_state(params)
 
@@ -67,7 +71,8 @@ def main(argv=None):
         med = (time.time() - t0) / args.iters
 
     print(json.dumps({
-        "bench": f"train_step/{args.encoder}_{t}x{s}",
+        "bench": f"train_step/{args.encoder}_{t}x{s}"
+        + ("_trainenc" if args.train_encoder else ""),
         "compile_s": round(compile_s, 1),
         "step_s": round(med, 4),
         "clip_frames_per_s": round(b * t / med, 2),

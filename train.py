@@ -80,6 +80,7 @@ def main(argv=None) -> int:
         optimizer=make_optimizer(args.lr, train_encoder=args.train_encoder),
         mesh=mesh,
         tgm_weight=args.tgm_weight,
+        train_encoder=args.train_encoder,
     )
     import os
 

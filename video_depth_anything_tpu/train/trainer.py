@@ -72,13 +72,20 @@ class Trainer:
         tgm_weight: float = 10.0,
         compute_dtype=jnp.bfloat16,
         remat_encoder: bool = True,
+        train_encoder: bool = False,
     ):
         self.module = module
-        self.tx = optimizer or make_optimizer()
+        self.tx = optimizer or make_optimizer(train_encoder=train_encoder)
         self.mesh = mesh
         self.tgm_weight = tgm_weight
         self.compute_dtype = compute_dtype
         self.remat_encoder = remat_encoder
+        # Must match the optimizer's ``train_encoder``: when False the step
+        # treats ``params["pretrained"]`` as a non-differentiated constant —
+        # no encoder backward pass, no whole-model remat.  (The optimizer
+        # mask alone would zero the updates but still pay for computing the
+        # encoder gradients, ~2× the encoder forward per step.)
+        self.train_encoder = train_encoder
 
     def init_state(self, params) -> TrainState:
         if self.mesh is not None:
@@ -144,11 +151,17 @@ class Trainer:
         dtype = self.compute_dtype
         mesh = self.mesh
 
-        def loss_fn(params, frames, disparity, mask):
+        train_encoder = self.train_encoder
+        # Whole-model remat only pays when gradients flow through the
+        # encoder; with a frozen encoder the backward stops at the 4 feature
+        # taps and rematerializing the forward would just run it twice.
+        remat = self.remat_encoder and train_encoder
+
+        def loss_fn(trainable, frozen, frames, disparity, mask):
             fwd = module.apply
-            if self.remat_encoder:
+            if remat:
                 fwd = jax.checkpoint(fwd, static_argnums=())
-            pred = fwd({"params": params}, frames.astype(dtype))
+            pred = fwd({"params": {**frozen, **trainable}}, frames.astype(dtype))
             return video_depth_loss(pred, disparity, mask, tgm_weight)
 
         def train_step(state: TrainState, batch):
@@ -162,11 +175,28 @@ class Trainer:
                 frames = jax.lax.with_sharding_constraint(frames, shard)
                 disparity = jax.lax.with_sharding_constraint(disparity, shard)
                 mask = jax.lax.with_sharding_constraint(mask, shard)
+            if train_encoder:
+                trainable, frozen = state.params, {}
+            else:
+                trainable = {
+                    k: v for k, v in state.params.items() if k != "pretrained"
+                }
+                frozen = {
+                    k: v for k, v in state.params.items() if k == "pretrained"
+                }
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, frames, disparity, mask
+                trainable, frozen, frames, disparity, mask
             )
+            # Rebuild the full-tree gradient with zeros for frozen leaves so
+            # the optimizer state/labels keep the whole-pytree layout
+            # (checkpoint compatibility); XLA folds the zero updates away.
+            if not train_encoder:
+                grads = {**jax.tree.map(jnp.zeros_like, frozen), **grads}
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            # Norm of the *trainable* gradients (frozen leaves are exact
+            # zeros here, unlike the pre-mask encoder grads the optimizer
+            # used to discard).
             metrics["grad_norm"] = optax.global_norm(grads)
             return TrainState(params, opt_state, state.step + 1), metrics
 
