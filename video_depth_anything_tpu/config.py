@@ -86,6 +86,14 @@ class ModelConfig:
     # transformed kernels (models/layers._s2d_kernel), phase-split resize
     # GEMMs (ops/resize.bilinear_resize_packed).
     packed_output_stack: bool = True
+    # Run [296→518 resize → output_conv2] as one fused Pallas kernel on TPU
+    # (ops/pallas_output_stack.py): the XLA lowering materializes two
+    # (T, 518, ·, C) fp32 resize intermediates in HBM and re-streams them
+    # through the convs (~39 ms/window at vitl, ~27 at vits); the kernel
+    # keeps the whole tail per (frame, row-block) in VMEM.  Numerics within
+    # ~1 bf16 ulp of the XLA chain (tests/test_output_stack.py); ignored
+    # off-TPU, in fp32 mode, and under ``fp32_head_island``.
+    fused_output_tail: bool = True
 
     @property
     def head_in_channels(self) -> int:

@@ -168,7 +168,47 @@ class DPTHeadTemporal(nn.Module):
             return "post"
         return None
 
+    def _try_fused_tail(
+        self, path1: jnp.ndarray, ph: int, pw: int
+    ) -> Optional[jnp.ndarray]:
+        """Run [resize → output_conv2] as the fused Pallas tail kernel
+        (ops/pallas_output_stack.py) when it covers the shape: one pass in
+        VMEM instead of HBM-materialized resize GEMMs + convs.  output_conv1
+        still runs in the packed layout where that wins (the fused kernel
+        consumes the unpacked 32/64/128-channel map).  Returns ``None``
+        (→ XLA paths) off-TPU, under fp32 islands, or during init (the
+        conv2 parameters are created by the XLA path)."""
+        if not self.cfg.fused_output_tail or self.cfg.fp32_head_island:
+            return None
+        if self.is_initializing() or path1.dtype != jnp.bfloat16:
+            return None
+        from video_depth_anything_tpu.ops.flash_attention import _on_tpu
+
+        if not _on_tpu():
+            return None
+        plan = self._packed_plan()
+        if plan == "pre" and path1.shape[-3] % 2 == 0 and path1.shape[-2] % 2 == 0:
+            out = _depth_to_space(self.output_conv1(_space_to_depth(path1), packed=True))
+        else:
+            out = self.output_conv1(path1)
+        p = self.variables["params"]
+        try:
+            c20, c22 = p["output_conv2_0"], p["output_conv2_2"]
+        except KeyError:  # pragma: no cover - restored partial trees
+            return None
+        from video_depth_anything_tpu.ops.pallas_output_stack import (
+            try_fused_output_tail,
+        )
+
+        return try_fused_output_tail(
+            out, c20["kernel"], c20["bias"], c22["kernel"], c22["bias"],
+            ph * 14, pw * 14,
+        )
+
     def _output_head(self, path1: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+        fused = self._try_fused_tail(path1, ph, pw)
+        if fused is not None:
+            return fused
         plan = self._packed_plan()
         if plan is not None and path1.shape[-3] % 2 == 0 and path1.shape[-2] % 2 == 0:
             if plan == "pre":
