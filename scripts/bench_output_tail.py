@@ -48,6 +48,25 @@ def bench_kernel_only(iters=20):
     )
 
     rng = np.random.default_rng(0)
+    # cost of the frame-pack relayout alone (groups=4 vits case)
+    xs = jnp.asarray(rng.standard_normal((32, 296, 296, 32)), jnp.bfloat16)
+    pack = jax.jit(
+        lambda x: x.reshape(8, 4, 296, 296, 32)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(8, 296, 296, 128)
+    )
+    force = jax.jit(lambda d: jnp.sum(d[0, :2, :2].astype(jnp.float32)))
+    float(force(pack(xs)))  # warm both programs before timing
+    t0 = time.time()
+    d = None
+    for _ in range(iters):
+        d = pack(xs)
+    float(force(d))
+    print(json.dumps({
+        "bench": "output_tail/frame_pack_relayout",
+        "ms": round((time.time() - t0) / iters * 1e3, 2),
+    }), flush=True)
+
     for c in (128, 32):
         x = jnp.asarray(rng.standard_normal((32, 296, 296, c)), jnp.bfloat16)
         k1 = jnp.asarray(rng.standard_normal((3, 3, c, 32)) * 0.05, jnp.float32)

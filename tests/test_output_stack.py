@@ -39,6 +39,8 @@ def _random_case(rng, n, h, w, c):
         (1, 8, 12, 128, 14, 21),    # vitl channels, tiny
         (1, 32, 32, 32, 56, 56),    # 8·ph → 14·ph (the real head ratio)
         (1, 16, 16, 32, 12, 10),    # downscale path
+        (4, 16, 16, 32, 28, 28),    # 4-frame lane packing (vits groups=4)
+        (4, 16, 16, 64, 28, 28),    # 2-frame lane packing (vitb groups=2)
     ],
 )
 def test_fused_tail_matches_xla_chain(n, h, w, c, oh, ow):

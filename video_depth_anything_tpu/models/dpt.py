@@ -186,11 +186,13 @@ class DPTHeadTemporal(nn.Module):
 
         if not _on_tpu():
             return None
-        plan = self._packed_plan()
-        if plan == "pre" and path1.shape[-3] % 2 == 0 and path1.shape[-2] % 2 == 0:
-            out = _depth_to_space(self.output_conv1(_space_to_depth(path1), packed=True))
-        else:
-            out = self.output_conv1(path1)
+        if self._packed_plan() is not None:
+            # Small-channel heads (vits/vitb): the 2×2 space-to-depth XLA
+            # output stack beats the fused kernel end-to-end (full window
+            # 113.1 vs 117.6 ms at vits — the kernel's frame packing wins
+            # against the *unpacked* chain only; docs/PERFORMANCE.md).
+            return None
+        out = self.output_conv1(path1)
         p = self.variables["params"]
         try:
             c20, c22 = p["output_conv2_0"], p["output_conv2_2"]

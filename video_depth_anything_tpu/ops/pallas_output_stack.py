@@ -150,16 +150,26 @@ def _split_hi_lo(w: np.ndarray):
     return np.asarray(hi), np.asarray(lo)
 
 
-def _pick_row_block(out_h: int) -> int:
+def _pick_row_block(out_h: int, top: int = 104) -> int:
     """Output-row block size: a multiple of 8 (rank-3 out-block sublane
     requirement), minimizing total padded rows, largest block on ties
-    (fewer blocks → less redundant horizontal-resize overlap)."""
+    (fewer blocks → less redundant horizontal-resize overlap).  ``top``
+    caps the block: the dy-lane-stacked conv's larger temporaries need
+    ≤ 72 to fit VMEM."""
     best = None
-    for r in range(104, 31, -8):
+    for r in range(top, 31, -8):
         hr = -(-out_h // r) * r
         if best is None or hr < best[0] or (hr == best[0] and r > best[1]):
             best = (hr, r)
     return best[1]
+
+
+def _plan(c: int, n: int, out_h: int):
+    """(frame_groups, row_block) for a head width / frame count."""
+    groups = {32: 4, 64: 2}.get(c, 1)
+    if groups > 1 and n % groups:
+        groups = 1  # frame count not divisible; run per-frame (rare paths)
+    return groups, _pick_row_block(out_h)
 
 
 # ---------------------------------------------------------------------------
@@ -177,11 +187,11 @@ def _tail_kernel(
     # operands
     x_ref,  # (N, H, W, C) bf16 — stays in HBM; rows DMA'd per block
     whl_ref,  # (nchunks, 2·CHUNK, K) bf16 — hi/lo weight split stacked in M
-    k1_ref,  # (9, C, 32) bf16 — conv taps, dy·3+dx major
+    k1_ref,  # (9, G·C, G·32) bf16 — conv taps (block-diagonal when G>1)
     b1_ref,  # (1, 32) fp32
     k2_ref,  # (1, 32) fp32
     b2_ref,  # (1, 8) fp32
-    o_ref,  # (1, R, Ws) bf16
+    o_ref,  # (G, R, Ws) bf16 — one row-block of depth per packed frame
     # scratch
     xbuf_ref,  # (U, W, C) bf16 — this block's input-row span
     rowb_ref,  # (RG, W, C) bf16 — staging rows (ref-sliceable per chunk)
@@ -197,6 +207,7 @@ def _tail_kernel(
     r_sub,
     u_rows,
     row_group,  # input rows per horizontal GEMM (lane-concatenated)
+    frame_groups,  # frames packed into the lane dim (4 at C=32, 2 at 64)
     chunk_starts,  # static (ostart, 8-aligned istart) per chunk
     k_span,
     ws,
@@ -208,6 +219,9 @@ def _tail_kernel(
 
     # Fetch only this block's input rows (whole-frame residency would pay
     # the (·, 32)-lane VMEM padding for vits and double-buffering for all).
+    # (Lane-offset DMA destinations would let the packing relayout happen
+    # in the DMA engine, but Mosaic requires 128-aligned lane slices —
+    # frame packing therefore happens in the wrapper.)
     cp = pltpu.make_async_copy(
         x_ref.at[ni, pl.ds(us, u_rows)], xbuf_ref, dma_sem
     )
@@ -271,10 +285,11 @@ def _tail_kernel(
     # misaligned sublane slices relayout-copy anyway, and per-(sub-block,
     # tap) slicing would pay that 24× instead of 2×.  Row (dy) shifts slice
     # the major dim: free.
-    # A dy-lane-stacked single-GEMM-per-dx variant (taps in 32-lane output
-    # groups) was measured: it does not fit VMEM at the 104-row block, and
-    # at the 40-row block the extra per-program fixed costs outweigh the
-    # MXU win (29.7 vs 25.0 ms at the vitl shape).  Per-tap dots stay.
+    # Per-tap block(-diagonal) dots.  A dy-lane-stacked variant (taps in
+    # 32-lane output groups, one GEMM per dx) was measured twice and loses
+    # both times: over VMEM at the 104-row block; 29.9 ms vs 24.8 at the
+    # 72-row block (the lane-group extractions cost more than the MXU's
+    # N=32 padding, which is cheaper than the 4× FLOP model suggests).
     r2s1_ref[...] = r2_ref[:, 1 : 1 + ws, :]
     r2s2_ref[...] = r2_ref[:, 2 : 2 + ws, :]
     shifted = (None, r2s1_ref, r2s2_ref)
@@ -298,36 +313,40 @@ def _tail_kernel(
         z = jnp.maximum(z, 0)
         # bf16-cast weights, fp32 products/accumulate — the XLA conv's
         # arithmetic exactly (k2 arrives pre-cast to bf16 values in fp32).
-        y2 = jnp.sum(
-            z.reshape(rs, ws, _MID).astype(jnp.float32) * k2_ref[...][0],
-            axis=-1,
-        )
-        y2 = y2.astype(jnp.bfloat16) + b2_ref[0, 0].astype(jnp.bfloat16)
-        o_ref[0, ri : ri + rs] = jnp.maximum(y2, 0)
+        # One lane-reduce per packed frame's 32-lane group, landing each
+        # frame's depth rows straight into its output-block slot.
+        zr = z.reshape(rs, ws, frame_groups * _MID)
+        for f in range(frame_groups):
+            grp = zr[..., f * _MID : (f + 1) * _MID]
+            y2 = jnp.sum(grp.astype(jnp.float32) * k2_ref[...][0], axis=-1)
+            y2 = y2.astype(jnp.bfloat16) + b2_ref[0, 0].astype(jnp.bfloat16)
+            o_ref[f, ri : ri + rs] = jnp.maximum(y2, 0)
 
 
-def _launch(x, whl, k1, b1, k2, b2, tables, out_h, out_w, interpret):
+def _launch(x, whl, k1, b1, k2, b2, tables, out_h, out_w, groups, interpret):
     n, h, w, c = x.shape
     w8 = _round_up(w, 8)
     if w8 != w:  # chunk starts are clamped against the padded width
         x = jnp.pad(x, ((0, 0), (0, 0), (0, w8 - w), (0, 0)))
         w = w8
+    # x arrives frame-packed: (N/G, H, W, G·C); each program emits G frames.
     us, lo, hi, w0, w1, os_, is_, u_rows = tables
     nb = len(us)
+    cl = c  # VMEM lane width (= G·C_head, frames already packed)
     r_blk = _pick_row_block(out_h)
     r_sub = r_blk if r_blk <= 24 else -(-r_blk // 4)
     n_chunks, _, k_span = whl.shape
     ws = _round_up(out_w + 2, 8)
     w2 = _round_up(max(ws + 8, 1 + int(max(os_)) + _CHUNK), 8)
     hr = nb * r_blk
-    rg = 4 if c == 128 and _round_up(u_rows, 4) <= h else 1
+    rg = 4 if cl == 128 and _round_up(u_rows, 4) <= h else 1
     u4 = _round_up(u_rows, rg)
     us = np.minimum(us, h - u4)  # keep the DMA'd span in bounds
 
     kernel = functools.partial(
         _tail_kernel,
         out_h=out_h, out_w=out_w, r_blk=r_blk, r_sub=r_sub, u_rows=u4,
-        row_group=rg,
+        row_group=rg, frame_groups=groups,
         chunk_starts=tuple(
             (int(o), int(s)) for o, s in zip(os_, is_)
         ),
@@ -344,21 +363,23 @@ def _launch(x, whl, k1, b1, k2, b2, tables, out_h, out_w, interpret):
             pl.BlockSpec(k2.shape, lambda ni, rb, *_: (0, 0)),
             pl.BlockSpec(b2.shape, lambda ni, rb, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, r_blk, ws), lambda ni, rb, *_: (ni, rb, 0)),
+        out_specs=pl.BlockSpec(
+            (groups, r_blk, ws), lambda ni, rb, *_: (ni, rb, 0)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((u4, w, c), jnp.bfloat16),
-            pltpu.VMEM((rg, w, c), jnp.bfloat16),
-            pltpu.VMEM((u4, w2, c), jnp.float32),
-            pltpu.VMEM((r_blk + 2, w2, c), jnp.bfloat16),
-            pltpu.VMEM((r_blk + 2, ws, c), jnp.bfloat16),
-            pltpu.VMEM((r_blk + 2, ws, c), jnp.bfloat16),
+            pltpu.VMEM((u4, w, cl), jnp.bfloat16),
+            pltpu.VMEM((rg, w, cl), jnp.bfloat16),
+            pltpu.VMEM((u4, w2, cl), jnp.float32),
+            pltpu.VMEM((r_blk + 2, w2, cl), jnp.bfloat16),
+            pltpu.VMEM((r_blk + 2, ws, cl), jnp.bfloat16),
+            pltpu.VMEM((r_blk + 2, ws, cl), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, hr, ws), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n * groups, hr, ws), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -415,7 +436,7 @@ def fused_output_tail(x, k1, b1, k2, b2, out_h, out_w, interpret=False):
 
 def _forward(x, k1, b1, k2, b2, out_h, out_w, interpret):
     n, h, w, c = x.shape
-    r_blk = _pick_row_block(out_h)
+    groups, r_blk = _plan(c, n, out_h)
     us, span = _block_tables(h, out_h, r_blk)
     lo, hi, w0, w1 = _vertical_tables(h, out_h)
     os_, is_, dense = _horizontal_chunks(w, out_w)
@@ -423,14 +444,30 @@ def _forward(x, k1, b1, k2, b2, out_h, out_w, interpret):
     whl = np.concatenate([whi, wlo], axis=1)  # (nchunks, 2·CHUNK, K)
     tables = (us, lo, hi, w0, w1, os_, is_, span)
     k1r = jnp.asarray(k1, jnp.bfloat16)  # (3, 3, C, 32)
-    if c < 128:
-        # Zero-pad channels to full lanes: VMEM lane-pads (·, 32) buffers
-        # 4× anyway, and zero input channels are exact no-ops in the GEMMs.
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - c)))
-        k1r = jnp.pad(k1r, ((0, 0), (0, 0), (0, 128 - c), (0, 0)))
-        c = 128
-    k1p = k1r.reshape(9, c, _MID)
-    b1p = jnp.asarray(b1, jnp.float32).reshape(1, _MID)
+    # Small-channel heads (vits C=32, vitb C=64) pack 4/2 consecutive
+    # frames into the 128-lane dim: resize is per-lane (frames are just
+    # more channels), the conv gets block-diagonal weights (zero
+    # cross-frame terms — per-frame math is exact), and the grid shrinks
+    # by the same factor.  Without this the kernel's 128-lane GEMMs would
+    # do vitl-scale work for a vits-sized problem.
+    if groups > 1:
+        # Pack consecutive frames into the lane dim (one XLA relayout of
+        # the input map); conv weights go block-diagonal (zero cross-frame
+        # terms: per-frame math exact), output lanes G·32 full.
+        x = (
+            x.reshape(n // groups, groups, h, w, c)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(n // groups, h, w, groups * c)
+        )
+        k1bd = jnp.zeros((3, 3, groups * c, groups * _MID), jnp.bfloat16)
+        for f in range(groups):
+            k1bd = k1bd.at[
+                :, :, f * c : (f + 1) * c, f * _MID : (f + 1) * _MID
+            ].set(k1r)
+        k1p = k1bd.reshape(9, groups * c, groups * _MID)
+    else:
+        k1p = k1r.reshape(9, c, _MID)
+    b1p = jnp.tile(jnp.asarray(b1, jnp.float32).reshape(1, _MID), (1, groups))
     # bf16-cast values carried in fp32 (the kernel's 1×1 is a lane-reduce
     # with fp32 products of bf16 values — the XLA conv's arithmetic).
     k2p = (
@@ -441,7 +478,7 @@ def _forward(x, k1, b1, k2, b2, out_h, out_w, interpret):
     )
     return _launch(
         x, jnp.asarray(whl), k1p, b1p, k2p, b2p,
-        tables, out_h, out_w, interpret,
+        tables, out_h, out_w, groups, interpret,
     )
 
 
@@ -463,17 +500,17 @@ fused_output_tail.defvjp(_fwd, _bwd)
 
 
 def _vmem_estimate(n, h, w, c, out_h, out_w) -> int:
-    c = 128 if c < 128 else c  # wrapper pads channels to full lanes
-    r_blk = _pick_row_block(out_h)
+    groups, r_blk = _plan(c, n, out_h)
+    cl = max(groups * c, 128)  # VMEM lane padding
     r_sub = r_blk if r_blk <= 24 else -(-r_blk // 4)
     _, span = _block_tables(h, out_h, r_blk)
     ws = _round_up(out_w + 2, 8)
     w2 = _round_up(max(ws + 8, 1 + max(out_w, _CHUNK)), 8)
-    xbuf = span * _round_up(w, 8) * c * 2
-    h2 = span * w2 * c * 4
-    r2 = (r_blk + 2) * (w2 + 2 * ws) * c * 2  # + the two shifted copies
-    # conv sub-block temporaries lane-pad the 32-wide fp32 acc/y to 128
-    conv_tmp = 3 * r_sub * ws * c * 2 + 3 * r_sub * ws * 128 * 4
+    xbuf = span * _round_up(w, 8) * cl * 2
+    h2 = span * w2 * cl * 4
+    r2 = (r_blk + 2) * (w2 + 2 * ws) * cl * 2  # + the two shifted copies
+    # conv sub-block temporaries lane-pad the fp32 acc/y to 128 lanes
+    conv_tmp = 3 * (r_sub + 2) * ws * cl * 2 + 3 * (r_sub + 2) * ws * 128 * 4
     return xbuf + h2 + r2 + conv_tmp
 
 
@@ -495,13 +532,6 @@ def try_fused_output_tail(
         return None
     n, h, w, c = x.shape
     if c not in (32, 64, 128) or h < 2 or w < 2:
-        return None
-    if not interpret and c != 128:
-        # The kernel's GEMMs run at 128-lane width regardless, so a 32/64-
-        # channel head (vits/vitb) does vitl-scale work — measured slower
-        # than the packed XLA output stack.  A 2×2 space-to-depth kernel
-        # variant (full lanes at c=32) is the roadmap item; interpret mode
-        # still exercises the small-channel math for tests.
         return None
     if tuple(k1.shape) != (3, 3, c, _MID) or int(np.prod(k2.shape)) != _MID:
         return None
