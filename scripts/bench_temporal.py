@@ -21,13 +21,24 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# vitl/518 motion-module shapes: (name, S, C) — T=32, B=1, heads=8 always.
-SHAPES = [
-    ("m0_1024@37x37", 37 * 37, 1024),
-    ("m1_1024@19x19", 19 * 19, 1024),
-    ("m2_256@37x37", 37 * 37, 256),
-    ("m3_256@74x74", 74 * 74, 256),
-]
+# Motion-module shapes per encoder: (name, S, C) — T=32, B=1, heads=8 always.
+SHAPES_BY_ENCODER = {
+    # vitl/518: features=256, out_channels=[256,512,1024,1024]
+    "vitl": [
+        ("m0_1024@37x37", 37 * 37, 1024),
+        ("m1_1024@19x19", 19 * 19, 1024),
+        ("m2_256@37x37", 37 * 37, 256),
+        ("m3_256@74x74", 74 * 74, 256),
+    ],
+    # vits/518: features=64, out_channels=[48,96,192,384]
+    "vits": [
+        ("m0_192@37x37", 37 * 37, 192),
+        ("m1_384@19x19", 19 * 19, 384),
+        ("m2_64@37x37", 37 * 37, 64),
+        ("m3_64@74x74", 74 * 74, 64),
+    ],
+}
+SHAPES = SHAPES_BY_ENCODER["vitl"]
 T = 32
 HEADS = 8
 
@@ -49,8 +60,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--variants", default="einsum,proj,groupnorm,geglu,module,pallas")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--encoder", default="vitl", choices=sorted(SHAPES_BY_ENCODER))
     args = p.parse_args(argv)
     variants = args.variants.split(",")
+    global SHAPES
+    SHAPES = SHAPES_BY_ENCODER[args.encoder]
 
     import jax
     import jax.numpy as jnp
@@ -98,6 +112,46 @@ def main(argv=None):
 
             dt = amortized(lambda: core(q, k, v), force, args.iters)
             emit(f"{name}/einsum_core", dt)
+
+        if "headstack" in variants:
+            # Head-stacked attention: embed the head structure into masked
+            # operands so the score GEMM contracts over full C (not d) and
+            # the PV GEMM contracts over h*T lanes.  scores[s,q,h*T+k] =
+            # sum_c Q[q,s,c] * K[k,s,c] * M[c,h]; out[q,s,c] =
+            # sum_{h,k} P[s,q,h*T+k] * V[k,s,c] * M[c,h].  Cross-head terms
+            # are zeroed by the mask; math is exactly per-head attention.
+            d_ = c // HEADS
+            mask_np = np.zeros((c, HEADS), np.float32)
+            for h_ in range(HEADS):
+                mask_np[h_ * d_:(h_ + 1) * d_, h_] = 1.0
+            mask = jnp.asarray(mask_np, dtype=jnp.bfloat16)
+
+            @jax.jit
+            def headstack(q, k, v, mask):
+                b, t, ss, cc = q.shape
+                # K'' (b, s, c, h*t): broadcast K^T across heads, mask.
+                kt = k.transpose(0, 2, 3, 1)  # (b, s, c, t)
+                kp = (kt[:, :, :, None, :] * mask[None, None, :, :, None]
+                      ).reshape(b, ss, cc, HEADS * t)
+                qt = q.transpose(0, 2, 1, 3)  # (b, s, t, c)
+                scores = jnp.einsum(
+                    "bsqc,bsck->bsqk", qt, kp,
+                    preferred_element_type=jnp.float32,
+                ) * jnp.float32(scale)
+                probs = jax.nn.softmax(
+                    scores.reshape(b, ss, t, HEADS, t), axis=-1
+                ).reshape(b, ss, t, HEADS * t).astype(q.dtype)
+                vt = v.transpose(0, 2, 1, 3)  # (b, s, t, c)
+                vp = (vt[:, :, None, :, :] * mask.T[None, None, :, None, :]
+                      ).reshape(b, ss, HEADS * t, cc)
+                out = jnp.einsum(
+                    "bsqk,bskc->bsqc", probs, vp,
+                    preferred_element_type=jnp.float32,
+                ).astype(q.dtype)
+                return out.transpose(0, 2, 1, 3)
+
+            dt = amortized(lambda: headstack(q, k, v, mask), force, args.iters)
+            emit(f"{name}/headstack", dt)
 
         if "proj" in variants:
             w = jnp.asarray(rng.randn(c, c) * 0.02, dtype=jnp.bfloat16)
@@ -189,7 +243,7 @@ def main(argv=None):
                     temporal_attention_window,
                 )
 
-                for impl in ("mxu", "vpu"):
+                for impl in ("mxu",):
                     fn = jax.jit(
                         lambda q, k, v, impl=impl: temporal_attention_window(
                             q, k, v, heads=HEADS, scale=scale, reduce_impl=impl

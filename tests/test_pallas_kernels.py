@@ -169,6 +169,8 @@ def _temporal_reference(q, k, v, heads, scale):
         (100, 256, 8),   # d=32 (vitl motion modules 2/3), S padded 100->128
         (64, 1024, 8),   # d=128 (vitl motion modules 0/1), 4 channel groups
         (37, 128, 4),    # d=32 single group, heavy S padding
+        (100, 64, 8),    # d=8 (vits motion modules 2/3), 16x location packing
+        (50, 192, 8),    # d=24 (vits module 0), 4x packing, S pad not mult of P
     ],
 )
 def test_temporal_kernel_matches_einsum(rng, s, c, heads, reduce_impl):

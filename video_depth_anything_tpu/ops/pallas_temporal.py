@@ -145,10 +145,26 @@ def _attention_bwd_math(q, k, v, g, heads: int, scale: float):
     )
 
 
+def _auto_pack(c: int, heads: int) -> int:
+    """Spatial-location lane packing factor.
+
+    ``(B, T, S, C) → (B, T, S/P, P·C)`` is a free row-major reshape; with it
+    the segment GEMM contracts over ``P·C`` lanes (full MXU passes instead
+    of a ≤C-wide contraction) and the fp32 softmax tile shrinks P× (score
+    lanes go from ``heads`` real out of 128 to ``P·heads``).  Pick the
+    largest P with (a) at most 128 score lanes, (b) a 128-aligned packed
+    lane count ≤ 1024 (VMEM: tiles are ``(T, rows, P·C)``).
+    """
+    p = max(1, min(_LANES // heads, 1024 // c))
+    while p > 1 and (p * c) % _LANES != 0:
+        p -= 1
+    return p
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "heads", "scale", "block_s", "reduce_impl", "interpret"
+        "heads", "scale", "block_s", "reduce_impl", "pack_locs", "interpret"
     ),
 )
 def temporal_attention_window(
@@ -160,6 +176,7 @@ def temporal_attention_window(
     scale: float,
     block_s: int = 0,
     reduce_impl: str = "mxu",
+    pack_locs: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-location attention over the frame axis.
@@ -168,10 +185,28 @@ def temporal_attention_window(
     axis independently for each (location, head).  Matches
     ``TemporalSelfAttention._attend`` within bf16 tolerance; differentiable
     (Pallas forward, einsum backward).
+
+    ``pack_locs``: number of consecutive spatial locations folded into the
+    lane axis (0 → auto).  Packing is exact — every op in the kernel is
+    per-(location, head) lane-local, and the segment matrices built for the
+    packed ``c_grp = P·C`` are precisely the block-diagonal over locations.
     """
     b, t, s, c = q.shape
     head_dim = c // heads
-    c_grp = min(c, 256)
+    s_orig, c_orig = s, c
+    pack = pack_locs if pack_locs else _auto_pack(c, heads)
+    if pack > 1:
+        s_packed = _round_up(s, pack)
+        if s_packed != s:
+            pad = [(0, 0), (0, 0), (0, s_packed - s), (0, 0)]
+            q = jnp.pad(q, pad)
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+        q = q.reshape(b, t, s_packed // pack, pack * c)
+        k = k.reshape(b, t, s_packed // pack, pack * c)
+        v = v.reshape(b, t, s_packed // pack, pack * c)
+        s, c = s_packed // pack, pack * c
+    c_grp = min(c, 1024 if pack > 1 else 256)
     h_grp = c_grp // head_dim
     if block_s == 0:
         # Byte-aware block sizing: q/k/v/out blocks are double-buffered by
@@ -226,34 +261,42 @@ def temporal_attention_window(
         return forward(q, k, v), (q, k, v)
 
     def attn_bwd(res, g):
-        return _attention_bwd_math(*res, g, heads=heads, scale=scale)
+        # On the packed operands each (location, head) pair is one head of
+        # the same head_dim — the dense backward is exact with heads·pack.
+        return _attention_bwd_math(*res, g, heads=heads * pack, scale=scale)
 
     attn.defvjp(attn_fwd, attn_bwd)
     out = attn(q, k, v)
     if s_pad != s:
         out = out[:, :, :s]
+    if pack > 1:
+        out = out.reshape(b, t, s * pack, c_orig)[:, :, :s_orig]
     return out
 
 
 def try_temporal_attention(q, k, v, *, heads: int, scale: float, auto: bool = False):
     """Dispatch gate: (B, T, S, C) bf16/f32 with lane-aligned head groups.
 
-    Covers the vitl motion-module shapes (C ∈ {256, 1024}, d ∈ {32, 128});
-    returns ``None`` (→ XLA einsum path) otherwise.  With ``auto=True`` the
-    gate additionally requires the shapes where the kernel measured faster
-    than XLA's bf16 batched einsum on v5e (head_dim 32 at large S, e.g. the
-    vitl 256@74² module: 11.2 vs 13.8 ms; at head_dim 128 XLA wins ~3×  —
-    docs/PERFORMANCE.md).
+    Covers every vits/vitl motion-module shape (C ∈ {64, 192, 256, 384,
+    1024}, d ∈ {8, 24, 32, 48, 128}); returns ``None`` (→ XLA einsum path)
+    for unsupported layouts.  With ``auto=True`` the gate dispatches to the
+    kernel exactly where it measured faster than XLA's bf16 batched einsum
+    on v5e (docs/PERFORMANCE.md): every head_dim ≤ 64 shape, with location
+    packing — vits m3 64@74²: 3.4 vs 9.3 ms, vitl m3 256@74²: 9.0 vs
+    13.8 ms — while at head_dim 128 XLA's wide batched GEMMs win ~3×.
     """
     if q.ndim != 4:
         return None
     b, t, s, c = q.shape
     head_dim = c // heads
-    if c % heads != 0 or c % _LANES != 0:
+    if c % heads != 0 or t < 8:
         return None
-    if head_dim not in (32, 64, 128) or t < 8:
+    pack = _auto_pack(c, heads)
+    if (pack * c) % _LANES != 0:
         return None
-    if auto and not (head_dim == 32 and s >= 2048):
+    if pack == 1 and (c % _LANES != 0 or head_dim not in (32, 64, 128)):
+        return None
+    if auto and head_dim > 64:
         return None
     try:
         if jax.devices()[0].platform != "tpu":
