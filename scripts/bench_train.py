@@ -25,6 +25,7 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=266)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--train_encoder", action="store_true")
+    p.add_argument("--remat_motion", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -34,7 +35,14 @@ def main(argv=None):
     from video_depth_anything_tpu.parallel.mesh import create_mesh
     from video_depth_anything_tpu.train.trainer import Trainer, make_optimizer
 
-    model = VDAModel(args.encoder, dtype=jnp.bfloat16)
+    import dataclasses
+
+    from video_depth_anything_tpu.config import get_model_config
+
+    cfg = get_model_config(args.encoder)
+    if args.remat_motion:
+        cfg = dataclasses.replace(cfg, remat_motion=True)
+    model = VDAModel(args.encoder, dtype=jnp.bfloat16, cfg=cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     mesh = create_mesh()
     trainer = Trainer(
@@ -72,7 +80,8 @@ def main(argv=None):
 
     print(json.dumps({
         "bench": f"train_step/{args.encoder}_{t}x{s}"
-        + ("_trainenc" if args.train_encoder else ""),
+        + ("_trainenc" if args.train_encoder else "")
+        + ("_remat" if args.remat_motion else ""),
         "compile_s": round(compile_s, 1),
         "step_s": round(med, 4),
         "clip_frames_per_s": round(b * t / med, 2),

@@ -129,6 +129,42 @@ def test_flash_native_grads_match_xla(rng):
         np.testing.assert_allclose(np.asarray(gt), np.asarray(w), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("bwd_impl", ["pallas", "einsum"])
+@pytest.mark.parametrize("fast", [False, True])
+@pytest.mark.parametrize("n,h", [(142, 4), (300, 2)])
+def test_flash_native_bwd_impls_match_xla(rng, bwd_impl, fast, n, h):
+    """The flash backward kernel (softmax recompute + 5 GEMMs in VMEM) and
+    the dense einsum backward must both match the XLA-attention gradient,
+    including pad-row/column handling (n=142 pads 2 query sublanes and 114
+    key lanes) and the fast (no-max) softmax recompute."""
+    from video_depth_anything_tpu.ops.pallas_attention import flash_attention_native
+
+    b, d = 2, 64
+    q = jnp.asarray(rng.randn(b, n, h * d).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.randn(b, n, h * d).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.randn(b, n, h * d).astype(np.float32))
+    g = jnp.asarray(rng.randn(b, n, h * d).astype(np.float32))
+    scale = d**-0.5
+
+    def ref_loss(q, k, v):
+        out = _xla_attention(
+            q.reshape(b, n, h, d), k.reshape(b, n, h, d), v.reshape(b, n, h, d), scale
+        )
+        return jnp.sum(out.reshape(b, n, h * d) * g)
+
+    def ker_loss(q, k, v):
+        out = flash_attention_native(
+            q, k, v, scale=scale, n_valid=n, num_heads=h,
+            fast_softmax=fast, bwd_impl=bwd_impl, interpret=True,
+        )
+        return jnp.sum(out * g)
+
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(ker_loss, argnums=(0, 1, 2))(q, k, v)
+    for w, gt in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(w), rtol=2e-3, atol=2e-3)
+
+
 def test_flash_bf16(rng):
     b, n, h, d = 1, 300, 2, 64
     q = (rng.randn(b, n, h, d) * 0.5).astype(jnp.bfloat16)

@@ -75,6 +75,41 @@ def test_train_step_descends_and_freezes_encoder(rng):
     np.testing.assert_array_equal(np.asarray(enc_before), np.asarray(enc_after))
 
 
+def test_remat_motion_gradient_exact(rng):
+    """``remat_motion`` must be parameter-transparent (same pytree) and
+    gradient-exact: rematerialization changes what the backward saves, not
+    what it computes."""
+    import dataclasses
+
+    from video_depth_anything_tpu.config import get_model_config
+
+    cfg = get_model_config("vits")
+    batch = {
+        "frames": jnp.asarray(rng.randn(1, 2, 28, 28, 3), dtype=jnp.float32),
+        "disparity": jnp.asarray(rng.rand(1, 2, 28, 28), dtype=jnp.float32),
+        "mask": jnp.ones((1, 2, 28, 28), dtype=jnp.float32),
+    }
+    states = {}
+    for remat in (False, True):
+        model = VDAModel(
+            "vits", dtype=jnp.float32,
+            cfg=dataclasses.replace(cfg, remat_motion=remat),
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+        trainer = Trainer(
+            model.module,
+            optimizer=make_optimizer(learning_rate=1e-4),
+            compute_dtype=jnp.float32,
+            remat_encoder=False,
+        )
+        states[remat] = trainer.step(trainer.init_state(params), batch)
+    (s0, m0), (s1, m1) = states[False], states[True]
+    assert jax.tree.structure(s0.params) == jax.tree.structure(s1.params)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_save_restore_state_roundtrip(tmp_path, rng):
     model = VDAModel("vits", dtype=jnp.float32)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--tgm_weight", type=float, default=10.0)
     p.add_argument("--train_encoder", action="store_true")
+    p.add_argument("--remat_motion", action="store_true",
+                   help="rematerialize motion modules in the backward "
+                        "(fits vitl 32x518^2 on a 16 GB chip)")
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--save_every", type=int, default=500)
@@ -63,7 +66,14 @@ def main(argv=None) -> int:
         input_size=args.input_size,
     )
 
-    model = VDAModel(args.encoder, dtype=jnp.bfloat16)
+    import dataclasses
+
+    from video_depth_anything_tpu.config import get_model_config
+
+    cfg = get_model_config(args.encoder)
+    if args.remat_motion:
+        cfg = dataclasses.replace(cfg, remat_motion=True)
+    model = VDAModel(args.encoder, dtype=jnp.bfloat16, cfg=cfg)
     if args.init_checkpoint:
         model.params = (
             load_torch_checkpoint(args.init_checkpoint, model.cfg)

@@ -94,6 +94,14 @@ class ModelConfig:
     # ~1 bf16 ulp of the XLA chain (tests/test_output_stack.py); ignored
     # off-TPU, in fp32 mode, and under ``fp32_head_island``.
     fused_output_tail: bool = True
+    # Rematerialize the four motion modules on the backward pass
+    # (``nn.remat``): their internals (fp32 GroupNorm stats, 8×-widened
+    # GEGLU activations, attention probabilities) dominate training-peak
+    # HBM at high resolution — vitl 32×518² OOMs a 16 GB chip by ~0.2 GB
+    # without this.  Checkpoint-transparent (same parameters); inference is
+    # unaffected (no backward).  Off by default: recompute costs one extra
+    # forward through the modules per step.
+    remat_motion: bool = False
 
     @property
     def head_in_channels(self) -> int:

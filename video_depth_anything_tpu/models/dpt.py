@@ -115,10 +115,13 @@ class DPTHeadTemporal(nn.Module):
         self.output_conv1 = Conv2d(f // 2, 3, padding=1)
         self.output_conv2_0 = Conv2d(32, 3, padding=1)
         self.output_conv2_2 = Conv2d(1, 1)
-        self.motion_0 = TemporalModule(cfg.motion, out_ch[2], self.attn_impl)
-        self.motion_1 = TemporalModule(cfg.motion, out_ch[3], self.attn_impl)
-        self.motion_2 = TemporalModule(cfg.motion, cfg.features, self.attn_impl)
-        self.motion_3 = TemporalModule(cfg.motion, cfg.features, self.attn_impl)
+        # nn.remat is parameter-transparent (same names/shapes); it only
+        # changes what the backward saves — see ModelConfig.remat_motion.
+        mod_cls = nn.remat(TemporalModule) if cfg.remat_motion else TemporalModule
+        self.motion_0 = mod_cls(cfg.motion, out_ch[2], self.attn_impl)
+        self.motion_1 = mod_cls(cfg.motion, out_ch[3], self.attn_impl)
+        self.motion_2 = mod_cls(cfg.motion, cfg.features, self.attn_impl)
+        self.motion_3 = mod_cls(cfg.motion, cfg.features, self.attn_impl)
 
     # -- shared pieces ------------------------------------------------------
 

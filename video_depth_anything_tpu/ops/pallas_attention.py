@@ -245,9 +245,116 @@ def _flash_kernel_native(
         o_ref[0, :, lo : lo + d] = (acc / l).astype(o_ref.dtype)
 
 
+def _flash_kernel_native_bwd(
+    q_ref,  # pre-scaled by scale·log2(e), like the forward
+    k_ref,
+    v_ref,
+    g_ref,
+    dq_ref,
+    dk_ref,
+    dv_ref,
+    *,
+    d,
+    n_valid,
+    n_pad,
+    fast,
+    scale,
+):
+    """Native-layout flash backward: recompute the forward's probabilities
+    (identical softmax arithmetic, incl. the ``fast`` no-max variant), then
+
+        dv = pᵀ·g,  dp = g·vᵀ,  Δ = rowsum(dp⊙p),  ds = p⊙(dp−Δ),
+        dq = scale·ds·k,  dk = dsᵀ·q_raw·scale = dsᵀ·q_pre / log2(e)
+
+    per head, entirely in VMEM — the einsum backward's (B·H, N, N) fp32
+    probability/ds tensors never touch HBM.  Pad handling mirrors the
+    forward: pad key columns are masked to −∞ (p=0 ⇒ zero dk/dv rows), pad
+    query rows have zero g ⇒ zero ds rows ⇒ zero dq rows and no dk/dv
+    contribution."""
+    nh = q_ref.shape[-1] // d
+    for h in range(nh):
+        lo = h * d
+        q = q_ref[0, :, lo : lo + d]
+        k = k_ref[0, :, lo : lo + d]
+        v = v_ref[0, :, lo : lo + d]
+        g = g_ref[0, :, lo : lo + d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if n_valid < n_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, _NEG_INF)
+        if fast:
+            p = _exp2_poly(s)
+        else:
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = _exp2_poly(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pn = p * (1.0 / l)
+        pb = pn.astype(v_ref.dtype)
+        dv_ref[0, :, lo : lo + d] = jax.lax.dot_general(
+            pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(dp * pn, axis=1, keepdims=True)
+        ds = (pn * (dp - delta)).astype(q_ref.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[0, :, lo : lo + d] = (dq * scale).astype(dq_ref.dtype)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_ref[0, :, lo : lo + d] = (dk * (1.0 / _LOG2E)).astype(dk_ref.dtype)
+
+
+def _native_bwd_pallas(
+    q, k, v, g, *, scale, n_valid, num_heads, fast, interpret
+):
+    """Launch the native-layout backward kernel on raw ``(B, N, H·D)``
+    residuals + cotangent ``g``; returns ``(dq, dk, dv)`` in the same
+    layout."""
+    b, n, hd = q.shape
+    d = hd // num_heads
+    n_pad_q = _round_up(n, 16)
+    n_pad = _round_up(n, 128)
+    qp = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    qp = jnp.pad(qp, ((0, 0), (0, n_pad_q - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_pad - n), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, n_pad_q - n), (0, 0)))
+    kernel = functools.partial(
+        _flash_kernel_native_bwd,
+        d=d, n_valid=n, n_pad=n_pad, fast=fast, scale=scale,
+    )
+    spec_q = pl.BlockSpec((1, n_pad_q, 2 * d), lambda bi, hp: (bi, 0, hp))
+    spec_k = pl.BlockSpec((1, n_pad, 2 * d), lambda bi, hp: (bi, 0, hp))
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, num_heads // 2),
+        in_specs=[spec_q, spec_k, spec_k, spec_q],
+        out_specs=[spec_q, spec_k, spec_k],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad_q, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, hd), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp)
+    return dq[:, :n], dk[:, :n], dv[:, :n]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "n_valid", "num_heads", "fast_softmax", "interpret"),
+    static_argnames=(
+        "scale", "n_valid", "num_heads", "fast_softmax", "bwd_impl", "interpret",
+    ),
 )
 def flash_attention_native(
     q: jnp.ndarray,
@@ -258,12 +365,19 @@ def flash_attention_native(
     n_valid: int,
     num_heads: int,
     fast_softmax: bool = False,
+    bwd_impl: str = "auto",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention on ``(B, N, H·D)`` inputs (head-interleaved lanes, the
     layout straight off the qkv split).  Requirements: D == 64 and H even
     (every supported encoder: 6/12/16/24 heads).  N is padded internally —
-    q rows to sublane (16), key lanes to 128."""
+    q rows to sublane (16), key lanes to 128.
+
+    ``bwd_impl``: "pallas" (flash backward kernel — recomputes the softmax
+    in VMEM, nothing N×N touches HBM), "einsum" (dense XLA backward,
+    materializes (B, H, N, N) fp32 probabilities — the memory cost that
+    caps unfrozen-encoder training at high resolution), or "auto"
+    (pallas)."""
     b, n, hd = q.shape
     d = hd // num_heads
     n_pad_q = _round_up(n, 16)
@@ -301,7 +415,13 @@ def flash_attention_native(
         return attn(q, k, v), (q, k, v)
 
     def attn_bwd(res, g):
-        # Dense einsum backward on the (B, N, H, D) view (training path).
+        if bwd_impl in ("auto", "pallas"):
+            return _native_bwd_pallas(
+                *res, g, scale=scale, n_valid=n_valid, num_heads=num_heads,
+                fast=fast_softmax, interpret=interpret,
+            )
+        # Dense einsum backward on the (B, N, H, D) view (oracle path; the
+        # (B, H, N, N) fp32 probabilities/ds are materialized in HBM).
         q, k, v = (x.reshape(b, n, num_heads, d) for x in res)
         g = g.reshape(b, n, num_heads, d)
         f32 = jnp.float32
