@@ -42,3 +42,46 @@ def test_eval_cli_rejects_unknown_dataset():
 
     with pytest.raises(SystemExit):
         eval_cli.main(["--dataset", "nope", "--root", "/tmp", "--csv", "/tmp/x.csv"])
+
+
+def test_train_cli_end_to_end(tmp_path):
+    """Full train.py loop on a synthesized TartanAir mini-dataset: sampler →
+    prefetcher → pjit'd steps → checkpoint save, then --resume continues
+    from the saved step."""
+    import json
+    import os
+
+    import cv2
+    import numpy as np
+
+    import train as train_cli
+
+    root = str(tmp_path / "ta")
+    scene = os.path.join(root, "abandonedfactory", "Easy", "P001")
+    os.makedirs(os.path.join(scene, "depth_left"))
+    os.makedirs(os.path.join(scene, "image_left"))
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        cv2.imwrite(
+            os.path.join(scene, "image_left", f"{i:06d}_left.png"),
+            (rng.rand(20, 24, 3) * 255).astype(np.uint8),
+        )
+        np.save(
+            os.path.join(scene, "depth_left", f"{i:06d}_left_depth.npy"),
+            (rng.rand(20, 24) * 10 + 1).astype(np.float32),
+        )
+    poses = np.zeros((6, 7))
+    poses[:, 6] = 1.0
+    np.savetxt(os.path.join(scene, "pose_left.txt"), poses)
+
+    out = str(tmp_path / "ckpt")
+    args = [
+        "--dataset", "tartanair", "--root", root, "--encoder", "vits",
+        "--steps", "2", "--clip_len", "2", "--input_size", "28",
+        "--save_every", "2", "--log_every", "1", "--out", out,
+    ]
+    assert train_cli.main(args) == 0
+    assert os.path.isdir(os.path.join(out, "state_latest"))
+
+    # resume picks up at step 2 and runs to 3
+    assert train_cli.main(args[:-4] + ["--steps", "3", "--out", out, "--resume"]) == 0

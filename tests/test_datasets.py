@@ -285,6 +285,30 @@ def test_clip_sampler(tmp_path):
     assert (batch["disparity"] > 0).all()
 
 
+def test_prefetcher_order_exhaustion_and_errors():
+    from video_depth_anything_tpu.data.clips import Prefetcher
+
+    # order preserved, exhaustion terminal (and stays terminal)
+    pf = Prefetcher(iter(range(7)), depth=2)
+    assert list(pf) == list(range(7))
+    assert list(pf) == []
+
+    # producer exceptions re-raise at the consumer, after the good items
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("decode failed")
+
+    pf = Prefetcher(boom(), depth=1)
+    assert next(pf) == 1
+    assert next(pf) == 2
+    try:
+        next(pf)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "decode failed" in str(e)
+
+
 def test_clip_sampler_mixed_shapes_and_short_scenes():
     """Clips from scenes of different resolutions and lengths must stack."""
     from video_depth_anything_tpu.data.clips import ClipSampler

@@ -102,8 +102,12 @@ def main(argv=None) -> int:
     else:
         state = trainer.init_state(model.params)
 
+    from video_depth_anything_tpu.data.clips import Prefetcher
+
     t0 = time.time()
-    it = iter(sampler)
+    # Overlap host-side clip sampling (dataset decode + cv2 resizes) with
+    # device compute: two batches stay in flight in a background thread.
+    it = Prefetcher(iter(sampler), depth=2)
     start_step = int(state.step)
     for step in range(start_step + 1, args.steps + 1):
         batch = {k: jnp.asarray(v) for k, v in next(it).items()}

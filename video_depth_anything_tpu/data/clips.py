@@ -10,12 +10,57 @@ reference's target-resize convention, ``util/transform.py:117-121``).
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, Iterator, Sequence
 
 import cv2
 import numpy as np
 
 from video_depth_anything_tpu.utils.transform import model_size_for, preprocess_frames
+
+_SENTINEL = object()
+
+
+class Prefetcher:
+    """Background-thread iterator prefetch (bounded queue).
+
+    The clip sampler is pure host work (dataset decode, cv2 resizes, numpy
+    packing) that otherwise serializes with device compute in the train
+    loop; a ``depth``-deep prefetch keeps the next batches ready while the
+    device runs the current step.  Exceptions from the producer re-raise at
+    the consuming ``next()``; the thread is a daemon, so abandoning the
+    iterator (e.g. a fixed-step train loop ending) never blocks exit.
+    """
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._err: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._fill, args=(it,), daemon=True
+        )
+        self._thread.start()
+
+    def _fill(self, it: Iterator) -> None:
+        try:
+            for item in it:
+                self._q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised at next()
+            self._err = e
+        finally:
+            self._q.put(_SENTINEL)
+
+    def __iter__(self) -> "Prefetcher":
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is _SENTINEL:
+            self._q.put(_SENTINEL)  # keep subsequent next() terminal
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
 
 
 class ClipSampler:
