@@ -191,9 +191,11 @@ class DPTHeadTemporal(nn.Module):
             return None
         if self._packed_plan() is not None:
             # Small-channel heads (vits/vitb): the 2×2 space-to-depth XLA
-            # output stack beats the fused kernel end-to-end (full window
-            # 113.1 vs 117.6 ms at vits — the kernel's frame packing wins
-            # against the *unpacked* chain only; docs/PERFORMANCE.md).
+            # output stack and the frame-packed fused kernel measure equal
+            # end-to-end (vits window 97.5 vs 97.2 ms, re-measured after
+            # the location-packed temporal kernel landed); the XLA stack
+            # stays default for its ~15× cheaper compile (13 s vs 208 s for
+            # the kernel at c=32; docs/PERFORMANCE.md).
             return None
         out = self.output_conv1(path1)
         p = self.variables["params"]
