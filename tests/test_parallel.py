@@ -99,3 +99,88 @@ def test_initialize_distributed_single_host_noop():
     from video_depth_anything_tpu.parallel.multihost import initialize_distributed
 
     assert initialize_distributed() == (0, 1)
+
+
+def test_zero1_shards_opt_state_and_matches_baseline(small_model, tmp_path):
+    """ZeRO-1: optimizer-state leaves gain a 'data'-axis shard, the step
+    result matches the unsharded trainer, and save/restore re-establishes
+    the sharded layout."""
+    from video_depth_anything_tpu.train.trainer import Trainer, make_optimizer
+
+    mesh = create_mesh(data=4, model=2)
+    rng = np.random.RandomState(0)
+    batch = {
+        "frames": jnp.asarray(rng.randn(4, 2, 28, 28, 3), dtype=jnp.float32),
+        "disparity": jnp.asarray(rng.rand(4, 2, 28, 28), dtype=jnp.float32),
+        "mask": jnp.ones((4, 2, 28, 28), dtype=jnp.float32),
+    }
+
+    # host copy: trainer.step donates its state, and donation would delete
+    # the fixture's param buffers if device_put aliased them
+    params_host = jax.tree.map(np.asarray, small_model.params)
+
+    results = {}
+    for zero1 in (False, True):
+        trainer = Trainer(
+            small_model.module,
+            optimizer=make_optimizer(learning_rate=1e-4),
+            mesh=mesh,
+            compute_dtype=jnp.float32,
+            zero1=zero1,
+        )
+        state = trainer.init_state(jax.tree.map(jnp.asarray, params_host))
+        if zero1:
+            # moments carry a 'data' shard where a dimension allows it
+            specs = [
+                x.sharding.spec
+                for x in jax.tree.leaves(state.opt_state)
+                if hasattr(x, "sharding") and x.ndim >= 1
+            ]
+            assert any("data" in (s or ()) for s in specs), specs
+            big = max(
+                (x for x in jax.tree.leaves(state.opt_state) if x.ndim >= 1),
+                key=lambda x: x.size,
+            )
+            shard_elems = big.addressable_shards[0].data.size
+            assert shard_elems * 4 <= big.size, (shard_elems, big.size)
+        with mesh:
+            for _ in range(2):
+                state, metrics = trainer.step(state, batch)
+        results[zero1] = (state, float(metrics["loss"]))
+        if zero1:
+            # params must stay TP-only after apply_updates (no silent
+            # data-sharding of the weights)
+            for leaf in jax.tree.leaves(state.params):
+                assert "data" not in (leaf.sharding.spec or ()), leaf.sharding
+
+            # save/restore re-establishes the ZeRO layout
+            path = str(tmp_path / "z1")
+            trainer.save_state(path, state)
+            trainer2 = Trainer(
+                small_model.module,
+                optimizer=make_optimizer(learning_rate=1e-4),
+                mesh=mesh,
+                compute_dtype=jnp.float32,
+                zero1=True,
+            )
+            restored = trainer2.restore_state(path, jax.tree.map(jnp.asarray, params_host))
+            rspecs = [
+                x.sharding.spec
+                for x in jax.tree.leaves(restored.opt_state)
+                if hasattr(x, "sharding") and x.ndim >= 1
+            ]
+            assert any("data" in (s or ()) for s in rspecs), rspecs
+            for a, b in zip(
+                jax.tree.leaves(state.opt_state),
+                jax.tree.leaves(restored.opt_state),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+                )
+
+    (s0, l0), (s1, l1) = results[False], results[True]
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )

@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--tgm_weight", type=float, default=10.0)
     p.add_argument("--train_encoder", action="store_true")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state over the data mesh axis "
+                        "(ZeRO-1; Adam moments are 2x params in fp32)")
     p.add_argument("--remat_motion", action="store_true",
                    help="rematerialize motion modules in the backward "
                         "(fits vitl 32x518^2 on a 16 GB chip)")
@@ -91,6 +94,7 @@ def main(argv=None) -> int:
         mesh=mesh,
         tgm_weight=args.tgm_weight,
         train_encoder=args.train_encoder,
+        zero1=args.zero1,
     )
     import os
 

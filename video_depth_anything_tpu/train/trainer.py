@@ -57,6 +57,19 @@ def make_optimizer(
     return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
 
 
+def _zero1_spec(spec: PS, shape, data: int) -> PS:
+    """Add ``'data'`` sharding to the first dimension a leaf can shard:
+    unsharded by TP, divisible by the data-axis size.  Returns the spec
+    unchanged when no dimension qualifies (scalars, tiny/odd leaves —
+    they stay replicated, which is always correct)."""
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    for i, (p, s) in enumerate(zip(parts, shape)):
+        if p is None and s >= data and s % data == 0:
+            parts[i] = "data"
+            return PS(*parts)
+    return spec
+
+
 class Trainer:
     """Bundles module + optimizer + mesh into a jitted ``step``.
 
@@ -73,6 +86,7 @@ class Trainer:
         compute_dtype=jnp.bfloat16,
         remat_encoder: bool = True,
         train_encoder: bool = False,
+        zero1: bool = False,
     ):
         self.module = module
         self.tx = optimizer or make_optimizer(train_encoder=train_encoder)
@@ -86,19 +100,58 @@ class Trainer:
         # mask alone would zero the updates but still pay for computing the
         # encoder gradients, ~2× the encoder forward per step.)
         self.train_encoder = train_encoder
+        # ZeRO-1: shard the optimizer state over the ``data`` axis (on top
+        # of the params' TP sharding, which the moments inherit).  Adam
+        # moments are 2× the params in fp32 — 3 GB at vitl — replicated
+        # per chip otherwise.  The moment update runs data-sharded; GSPMD
+        # all-gathers only the (bf16-sized) ``updates`` for apply_updates.
+        # Exactness: elementwise optimizer math is sharding-invariant; the
+        # only cross-leaf op (global grad-norm clip) reduces over ICI.
+        self.zero1 = zero1 and mesh is not None and mesh.shape.get("data", 1) > 1
+        self._opt_shardings = None
 
     def init_state(self, params) -> TrainState:
         if self.mesh is not None:
             # place params with their TP shardings first, then init the
             # optimizer from the sharded tree so moment buffers inherit the
             # same layout (one tx.init total)
-            pspecs = param_partition_specs(params, TP_RULES)
-            params = jax.tree.map(
-                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-                params,
-                pspecs,
-            )
-        return TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+            params = self._place_params(params)
+        opt_state = self._place_opt_state(self.tx.init(params))
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    def _place_params(self, params):
+        pspecs = param_partition_specs(params, TP_RULES)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            params,
+            pspecs,
+        )
+
+    def _place_opt_state(self, opt_state):
+        if self.zero1:
+            # Optimizer-agnostic: every array leaf already carries the
+            # sharding it inherited from the params through ``tx.init``'s
+            # eager ops; extend each with a 'data'-axis shard where a
+            # dimension allows it, and remember the specs so ``step`` can
+            # pin the updated state to the same layout.
+            data = self.mesh.shape["data"]
+            mesh = self.mesh
+
+            def sharding_of(x):
+                # NamedSharding leaves (never None/PS: both are pytree
+                # containers and would break the paired tree.maps below)
+                if not hasattr(x, "ndim") or x.ndim == 0:
+                    return NamedSharding(mesh, PS())
+                cur = (
+                    x.sharding.spec
+                    if isinstance(getattr(x, "sharding", None), NamedSharding)
+                    else PS()
+                )
+                return NamedSharding(mesh, _zero1_spec(cur, x.shape, data))
+
+            self._opt_shardings = jax.tree.map(sharding_of, opt_state)
+            opt_state = jax.tree.map(jax.device_put, opt_state, self._opt_shardings)
+        return opt_state
 
     # -- checkpoint / resume ------------------------------------------------
 
@@ -141,7 +194,19 @@ class Trainer:
         )
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(os.path.abspath(path), abstract)
-        return TrainState(restored["params"], restored["opt_state"], restored["step"])
+        params, opt_state = restored["params"], restored["opt_state"]
+        if self.mesh is not None:
+            # re-establish the training layout (TP params; ZeRO-1 moments
+            # via a sharding template computed from a placed-params init —
+            # the checkpoint itself is layout-free host arrays)
+            params = self._place_params(params)
+            if self.zero1 and self._opt_shardings is None:
+                self._place_opt_state(self.tx.init(params))
+            if self._opt_shardings is not None:
+                opt_state = jax.tree.map(
+                    jax.device_put, opt_state, self._opt_shardings
+                )
+        return TrainState(params, opt_state, restored["step"])
 
     @functools.cached_property
     def step(self):
@@ -152,6 +217,7 @@ class Trainer:
         mesh = self.mesh
 
         train_encoder = self.train_encoder
+        zero1_shardings = self._opt_shardings if self.zero1 else None
         # Whole-model remat only pays when gradients flow through the
         # encoder; with a frozen encoder the backward stops at the 4 feature
         # taps and rematerializing the forward would just run it twice.
@@ -193,6 +259,21 @@ class Trainer:
             if not train_encoder:
                 grads = {**jax.tree.map(jnp.zeros_like, frozen), **grads}
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            if zero1_shardings is not None:
+                # Pin the updated optimizer state to its ZeRO-1 layout and
+                # the new params back to TP-only (apply_updates would
+                # otherwise inherit the updates' data-sharding, silently
+                # turning the weights data-sharded for the next forward).
+                opt_state = jax.tree.map(
+                    jax.lax.with_sharding_constraint, opt_state, zero1_shardings
+                )
+                updates = jax.tree.map(
+                    lambda u, s: jax.lax.with_sharding_constraint(
+                        u, NamedSharding(mesh, s)
+                    ),
+                    updates,
+                    param_partition_specs(updates, TP_RULES),
+                )
             params = optax.apply_updates(state.params, updates)
             # Norm of the *trainable* gradients (frozen leaves are exact
             # zeros here, unlike the pre-mask encoder grads the optimizer
