@@ -75,6 +75,51 @@ def test_train_step_descends_and_freezes_encoder(rng):
     np.testing.assert_array_equal(np.asarray(enc_before), np.asarray(enc_after))
 
 
+def test_optimizer_schedule_and_accumulation(rng):
+    """Warmup schedule ramps the step size; accum_steps=k applies zero
+    updates for k−1 micro-steps then the averaged update, equal to one
+    full-batch step on the mean gradient."""
+    import optax
+
+    params = {"w": jnp.asarray(rng.randn(4, 4), jnp.float32)}
+    g1 = {"w": jnp.asarray(rng.randn(4, 4), jnp.float32)}
+    g2 = {"w": jnp.asarray(rng.randn(4, 4), jnp.float32)}
+
+    # warmup: first update much smaller than the post-warmup one
+    tx = make_optimizer(1e-2, train_encoder=True, warmup_steps=100)
+    st = tx.init(params)
+    up1, st = tx.update(g1, st, params)
+    for _ in range(150):
+        up, st = tx.update(g1, st, params)
+    assert float(optax.global_norm(up1)) < 0.1 * float(optax.global_norm(up))
+
+    # accumulation: micro-steps emit zero updates until the k-th, which
+    # matches a single step on the averaged gradient
+    tx_acc = make_optimizer(1e-2, train_encoder=True, accum_steps=2)
+    st = tx_acc.init(params)
+    up_a, st = tx_acc.update(g1, st, params)
+    assert float(optax.global_norm(up_a)) == 0.0
+    up_b, st = tx_acc.update(g2, st, params)
+
+    tx_full = make_optimizer(1e-2, train_encoder=True)
+    stf = tx_full.init(params)
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+    up_full, _ = tx_full.update(g_mean, stf, params)
+    np.testing.assert_allclose(
+        np.asarray(up_b["w"]), np.asarray(up_full["w"]), rtol=1e-5, atol=1e-7
+    )
+
+    # frozen-encoder masking composes with accumulation
+    p2 = {"pretrained": {"w": params["w"]}, "head": {"w": params["w"]}}
+    txm = make_optimizer(1e-2, accum_steps=2)
+    stm = txm.init(p2)
+    gm = {"pretrained": {"w": g1["w"]}, "head": {"w": g1["w"]}}
+    for _ in range(2):
+        upm, stm = txm.update(gm, stm, p2)
+    assert float(jnp.abs(upm["pretrained"]["w"]).max()) == 0.0
+    assert float(jnp.abs(upm["head"]["w"]).max()) > 0.0
+
+
 def test_remat_motion_gradient_exact(rng):
     """``remat_motion`` must be parameter-transparent (same pytree) and
     gradient-exact: rematerialization changes what the backward saves, not

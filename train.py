@@ -30,6 +30,12 @@ def main(argv=None) -> int:
     p.add_argument("--input_size", type=int, default=266)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--tgm_weight", type=float, default=10.0)
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup steps (0 = constant LR)")
+    p.add_argument("--decay_steps", type=int, default=0,
+                   help="cosine decay horizon after warmup (0 = none)")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation micro-batches per update")
     p.add_argument("--train_encoder", action="store_true")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the data mesh axis "
@@ -90,7 +96,13 @@ def main(argv=None) -> int:
     mesh = create_mesh(model=args.model_parallel) if n_dev > 1 else None
     trainer = Trainer(
         model.module,
-        optimizer=make_optimizer(args.lr, train_encoder=args.train_encoder),
+        optimizer=make_optimizer(
+            args.lr,
+            train_encoder=args.train_encoder,
+            warmup_steps=args.warmup_steps,
+            decay_steps=args.decay_steps,
+            accum_steps=args.accum_steps,
+        ),
         mesh=mesh,
         tgm_weight=args.tgm_weight,
         train_encoder=args.train_encoder,

@@ -36,25 +36,47 @@ def make_optimizer(
     weight_decay: float = 1e-2,
     train_encoder: bool = False,
     clip_norm: float = 1.0,
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """AdamW with global-norm clipping, optionally under a linear-warmup +
+    cosine-decay schedule (``warmup_steps``/``decay_steps``) and gradient
+    accumulation (``accum_steps`` micro-batches per optimizer update, via
+    ``optax.MultiSteps`` — the train loop stays one batch per step call)."""
+    if warmup_steps or decay_steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=max(1, warmup_steps),
+            # constant-after-warmup when no decay horizon is given
+            decay_steps=decay_steps or 10**9,
+            end_value=0.0 if decay_steps else learning_rate,
+        )
+    else:
+        lr = learning_rate
     tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        optax.adamw(learning_rate, weight_decay=weight_decay),
+        optax.adamw(lr, weight_decay=weight_decay),
     )
-    if train_encoder:
-        return tx
+    if not train_encoder:
+        # Frozen encoder: zero its updates entirely (optax.masked would pass
+        # the raw gradients through for masked-out leaves, silently training
+        # it).
+        def labels(params):
+            return {
+                k: jax.tree.map(
+                    lambda _: "freeze" if k == "pretrained" else "train", v
+                )
+                for k, v in params.items()
+            }
 
-    # Frozen encoder: zero its updates entirely (optax.masked would pass the
-    # raw gradients through for masked-out leaves, silently training it).
-    def labels(params):
-        return {
-            k: jax.tree.map(
-                lambda _: "freeze" if k == "pretrained" else "train", v
-            )
-            for k, v in params.items()
-        }
-
-    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def _zero1_spec(spec: PS, shape, data: int) -> PS:
