@@ -26,6 +26,12 @@ import numpy as np
 
 
 def _load_depth_npz(path: str) -> np.ndarray:
+    """Load a depth stack from .npz or a multi-page .tiff (the reference's
+    comparative pipeline consumes TIFF stacks, ``calculate_metrics.py:141-163``)."""
+    if path.endswith((".tiff", ".tif")):
+        from video_depth_anything_tpu.io.video import read_tiff_stack
+
+        return read_tiff_stack(path)
     data = np.load(path)
     key = "depth" if "depth" in data else list(data.keys())[0]
     return data[key]

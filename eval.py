@@ -29,6 +29,17 @@ def main(argv=None) -> int:
     p.add_argument("--no_tae", action="store_true")
     p.add_argument("--align_only_first_frame", action="store_true")
     p.add_argument("--streaming", action="store_true")
+    p.add_argument("--original", action="store_true",
+                   help="force plain sliding-window mode, overriding --streaming "
+                        "and its flags (ref eval.py:42-43)")
+    p.add_argument("--inference_length", type=int, default=32,
+                   help="streaming: motion-module context length (ref eval.py:34)")
+    p.add_argument("--keyframe_list", type=int, nargs="+", default=[0, 12],
+                   help="streaming: keyframe schedule (ref eval.py:36)")
+    p.add_argument("--align_each_new_frame", action="store_true",
+                   help="streaming: per-frame scale/shift realignment (ref eval.py:39)")
+    p.add_argument("--skip_tmp_block", action="store_true",
+                   help="skip the third motion module (ref eval.py:44)")
     p.add_argument("--data_parallel", action="store_true")
     args = p.parse_args(argv)
 
@@ -57,17 +68,30 @@ def main(argv=None) -> int:
             else ckpt_io.load_native(ckpt)
         )
 
+    if args.original:
+        args.streaming = False
+
     if args.streaming:
         from video_depth_anything_tpu.inference.streaming import StreamingDepthPipeline
 
         class _Adapter:
-            def __init__(self, inner):
+            def __init__(self, inner, skip_tmp_block):
                 self.inner = inner
+                self.skip_tmp_block = skip_tmp_block
 
             def infer_video_depth(self, frames, *a, **k):
-                return self.inner.infer(frames)
+                return self.inner.infer(frames, skip_tmp_block=self.skip_tmp_block)
 
-        pipeline = _Adapter(StreamingDepthPipeline(model, input_size=args.input_size))
+        pipeline = _Adapter(
+            StreamingDepthPipeline(
+                model,
+                input_size=args.input_size,
+                inference_length=args.inference_length,
+                keyframe_list=tuple(args.keyframe_list),
+                align_each_new_frame=args.align_each_new_frame,
+            ),
+            args.skip_tmp_block,
+        )
     elif args.data_parallel:
         from video_depth_anything_tpu.parallel.data_parallel import (
             DataParallelVideoDepthPipeline,
@@ -78,6 +102,13 @@ def main(argv=None) -> int:
         from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
 
         pipeline = VideoDepthPipeline(model, input_size=args.input_size)
+
+    if args.skip_tmp_block and not args.streaming:
+        import functools
+
+        pipeline.infer_video_depth = functools.partial(
+            pipeline.infer_video_depth, skip_tmp_block=True
+        )
 
     result = evaluate_dataset(
         pipeline,

@@ -46,6 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grayscale", action="store_true")
     p.add_argument("--save_npz", action="store_true")
     p.add_argument("--save_exr", action="store_true", help="save depth frames as EXR (requires OpenEXR-capable cv2)")
+    p.add_argument("--save_tiff", action="store_true", help="save depths as a multi-page float32 TIFF stack")
     p.add_argument("--save_orig", action="store_true")
     p.add_argument("--save_vis", action="store_true")
     p.add_argument("--save_stats", action="store_true")
@@ -102,6 +103,11 @@ def main(argv=None) -> int:
     )
     print(f"decoded {len(frames)} frames @ {fps:.2f} fps, {frames.shape[2]}x{frames.shape[1]}")
 
+    if args.original:
+        # reference semantics (run.py:43-44): --original overrides the
+        # streaming flags and runs the plain sliding-window mode
+        args.process_single_image = False
+
     t0 = time.time()
     if args.process_single_image:
         from video_depth_anything_tpu.inference.streaming import StreamingDepthPipeline
@@ -140,6 +146,10 @@ def main(argv=None) -> int:
         save_video(frames, os.path.join(args.output_dir, f"{base}_orig.mp4"), fps=fps)
     if args.save_npz:
         np.savez_compressed(os.path.join(args.output_dir, f"{base}_depth.npz"), depth=depths)
+    if args.save_tiff:
+        from video_depth_anything_tpu.io.video import write_tiff_stack
+
+        write_tiff_stack(os.path.join(args.output_dir, f"{base}_depths.tiff"), depths)
     if args.save_exr:
         import cv2
 

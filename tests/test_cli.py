@@ -13,7 +13,7 @@ def test_run_flags_present():
             "--input_video", "v.mp4", "--encoder", "vitl", "--input_size", "392",
             "--max_res", "960", "--max_len", "100", "--target_fps", "12",
             "--fp32", "--skip_tmp_block", "--original", "--grayscale",
-            "--save_npz", "--save_orig", "--save_vis", "--save_stats",
+            "--save_npz", "--save_tiff", "--save_orig", "--save_vis", "--save_stats",
             "--process_single_image", "--inference_length", "16",
             "--keyframe_list", "3", "7", "--align_each_new_frame",
             "--data_parallel",
@@ -22,6 +22,36 @@ def test_run_flags_present():
     assert args.encoder == "vitl"
     assert args.keyframe_list == [3, 7]
     assert args.fp32 and args.save_npz and args.align_each_new_frame
+
+
+def test_eval_streaming_flags_present():
+    # reference eval.py:33-44 exposes the streaming/ablation knobs
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_cli", os.path.join(os.path.dirname(__file__), "..", "eval.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with pytest.raises(SystemExit):  # --csv/--root/--dataset required
+        mod.main([
+            "--dataset", "kitti", "--streaming", "--inference_length", "16",
+            "--keyframe_list", "3", "7", "--align_each_new_frame",
+            "--skip_tmp_block", "--original",
+        ])
+
+
+def test_tiff_stack_roundtrip_bit_exact(tmp_path):
+    # reference --save_tiff writes float stacks consumed by its comparative
+    # pipeline (run.py:165-166, calculate_metrics.py:141-163)
+    from video_depth_anything_tpu.io.video import read_tiff_stack, write_tiff_stack
+
+    rng = np.random.default_rng(0)
+    depths = rng.standard_normal((5, 17, 23)).astype(np.float32) * 100
+    path = str(tmp_path / "d_depths.tiff")
+    write_tiff_stack(path, depths)
+    back = read_tiff_stack(path)
+    assert back.dtype == np.float32 and np.array_equal(back, depths)
 
 
 def test_run_requires_input_video(capsys):

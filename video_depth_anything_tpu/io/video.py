@@ -125,3 +125,30 @@ def save_video(
     for frame in frames:
         writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
     writer.release()
+
+
+def write_tiff_stack(path: str, frames: np.ndarray) -> None:
+    """Write a float32 [N, H, W] stack as a multi-page TIFF.
+
+    Counterpart of the reference's ``--save_tiff`` output (``run.py:165-166``,
+    consumed by its comparative pipeline ``calculate_metrics.py:141-163``).
+    tifffile is not in this image; PIL mode-"F" pages round-trip float32
+    bit-exactly (pinned by tests/test_cli.py).
+    """
+    from PIL import Image
+
+    frames = np.ascontiguousarray(frames, dtype=np.float32)
+    pages = [Image.fromarray(f, mode="F") for f in frames]
+    pages[0].save(path, save_all=True, append_images=pages[1:])
+
+
+def read_tiff_stack(path: str) -> np.ndarray:
+    """Read a multi-page float TIFF back as a float32 [N, H, W] array."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        pages = []
+        for i in range(im.n_frames):
+            im.seek(i)
+            pages.append(np.array(im, dtype=np.float32))
+        return np.stack(pages)
