@@ -11,6 +11,18 @@ import argparse
 import json
 
 
+def normalize_args(args):
+    """--original means "no adjustments": force the plain sliding-window
+    mode and clear skip_tmp_block (the reference's non-streaming eval branch
+    never applies it).  Applying skip_tmp_block in non-streaming eval
+    WITHOUT --original is a deliberate extension beyond the reference
+    (docs/PARITY.md)."""
+    if args.original:
+        args.streaming = False
+        args.skip_tmp_block = False
+    return args
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Video Depth Anything evaluation (TPU)")
     p.add_argument("--dataset", required=True,
@@ -34,8 +46,10 @@ def main(argv=None) -> int:
                         "and its flags (ref eval.py:42-43)")
     p.add_argument("--inference_length", type=int, default=32,
                    help="streaming: motion-module context length (ref eval.py:34)")
-    p.add_argument("--keyframe_list", type=int, nargs="+", default=[0, 12],
-                   help="streaming: keyframe schedule (ref eval.py:36)")
+    p.add_argument("--keyframe_list", type=int, nargs="+", default=[20],
+                   help="streaming: keyframe distance schedule (ref eval.py:36 "
+                        "default [20]); lists containing 0 are incompatible "
+                        "with --align_each_new_frame")
     p.add_argument("--align_each_new_frame", action="store_true",
                    help="streaming: per-frame scale/shift realignment (ref eval.py:39)")
     p.add_argument("--skip_tmp_block", action="store_true",
@@ -68,8 +82,7 @@ def main(argv=None) -> int:
             else ckpt_io.load_native(ckpt)
         )
 
-    if args.original:
-        args.streaming = False
+    normalize_args(args)
 
     if args.streaming:
         from video_depth_anything_tpu.inference.streaming import StreamingDepthPipeline

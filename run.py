@@ -40,7 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     # streaming single-frame mode (reference --process_single_image)
     p.add_argument("--process_single_image", action="store_true")
     p.add_argument("--inference_length", type=int, default=32)
-    p.add_argument("--keyframe_list", type=int, nargs="+", default=[0, 12])
+    p.add_argument("--keyframe_list", type=int, nargs="+", default=[20],
+                   help="streaming keyframe distances (reference run.py:37 default "
+                        "[20]); lists containing 0 are incompatible with "
+                        "--align_each_new_frame (unfilled-cache crash, also "
+                        "latent in the reference)")
     p.add_argument("--align_each_new_frame", action="store_true")
     # outputs
     p.add_argument("--grayscale", action="store_true")
@@ -62,6 +66,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true",
                    help="shard frame windows over all local devices")
     return p
+
+
+def normalize_args(args):
+    """Resolve flag interactions before inference.
+
+    Reference semantics (run.py:43-44 help text): ``--original`` overrides
+    the streaming flags and runs the plain sliding-window mode.  The
+    reference's ``elif args.original`` branch (run.py:98-99) also calls
+    infer_video_depth WITHOUT skip_tmp_block, so ``--original`` runs the
+    unmodified model even if ``--skip_tmp_block`` was also passed.
+    (Deliberate deviation from the reference *code*'s precedence — see
+    docs/PARITY.md quirks section.)
+    """
+    if args.original:
+        args.process_single_image = False
+        args.skip_tmp_block = False
+    return args
 
 
 def main(argv=None) -> int:
@@ -103,10 +124,7 @@ def main(argv=None) -> int:
     )
     print(f"decoded {len(frames)} frames @ {fps:.2f} fps, {frames.shape[2]}x{frames.shape[1]}")
 
-    if args.original:
-        # reference semantics (run.py:43-44): --original overrides the
-        # streaming flags and runs the plain sliding-window mode
-        args.process_single_image = False
+    normalize_args(args)
 
     t0 = time.time()
     if args.process_single_image:

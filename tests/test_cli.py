@@ -54,6 +54,54 @@ def test_tiff_stack_roundtrip_bit_exact(tmp_path):
     assert back.dtype == np.float32 and np.array_equal(back, depths)
 
 
+def test_original_overrides_skip_tmp_block_and_streaming():
+    # reference run.py:98-99: the --original branch calls infer_video_depth
+    # without skip_tmp_block; --original also overrides --process_single_image
+    p = run_cli.build_parser()
+    args = p.parse_args(
+        ["--input_video", "v.mp4", "--original", "--skip_tmp_block",
+         "--process_single_image"]
+    )
+    run_cli.normalize_args(args)
+    assert not args.skip_tmp_block and not args.process_single_image
+
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_cli_norm", os.path.join(os.path.dirname(__file__), "..", "eval.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class A:
+        original = True
+        streaming = True
+        skip_tmp_block = True
+
+    a = mod.normalize_args(A())
+    assert not a.streaming and not a.skip_tmp_block
+
+
+def test_default_keyframe_list_is_align_compatible():
+    # advisor finding: the old [0, 12] default + --align_each_new_frame
+    # crashed in the StreamingDepthPipeline constructor guard
+    args = run_cli.build_parser().parse_args(["--input_video", "v.mp4"])
+    assert args.keyframe_list == [20]  # reference run.py:37 default
+    # the default schedule must not trip the align guard: every slot of the
+    # first-prediction gather stays inside the L-1 cached frames
+    from video_depth_anything_tpu.inference.streaming import streaming_schedule
+
+    _, use_idx, _ = streaming_schedule(32, args.keyframe_list)
+    assert max(use_idx[0]) <= 30  # inside the L-1 cached frames
+
+
+def test_tiff_stack_rejects_empty():
+    from video_depth_anything_tpu.io.video import write_tiff_stack
+
+    with pytest.raises(ValueError, match="empty"):
+        write_tiff_stack("/tmp/never_written.tiff", np.zeros((0, 4, 4), np.float32))
+
+
 def test_run_requires_input_video(capsys):
     with pytest.raises(SystemExit):
         run_cli.build_parser().parse_args([])

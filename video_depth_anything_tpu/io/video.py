@@ -138,6 +138,10 @@ def write_tiff_stack(path: str, frames: np.ndarray) -> None:
     from PIL import Image
 
     frames = np.ascontiguousarray(frames, dtype=np.float32)
+    if frames.shape[0] == 0:
+        # reachable via run.py --process_single_image --save_tiff on a video
+        # shorter than inference_length (streaming warmup yields no depths)
+        raise ValueError("write_tiff_stack: empty depth stack (0 frames)")
     pages = [Image.fromarray(f, mode="F") for f in frames]
     pages[0].save(path, save_all=True, append_images=pages[1:])
 
