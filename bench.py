@@ -120,6 +120,54 @@ def bench_streaming(encoder: str = "vits", size: int = 518,
     }
 
 
+def bench_kv_streaming(encoder: str = "vits", size: int = 518,
+                       iters: int = 20, warmup: int = 3) -> dict:
+    """Steady-state KV-cache streaming step (O(1)-per-frame mode): encoder
+    (1 frame) + single-query motion attention over the ring caches +
+    1-frame refinenets, one fused program per frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_depth_anything_tpu.inference.kv_streaming import (
+        KVStreamingPipeline,
+    )
+    from video_depth_anything_tpu.models.vda import VDAModel
+
+    model = VDAModel(encoder, dtype=jnp.bfloat16)
+    model.init_params(jax.random.PRNGKey(0))
+    pipe = KVStreamingPipeline(model)
+    params = model.params
+
+    x_warm = jax.device_put(
+        jnp.asarray(
+            np.random.randn(1, pipe.L, size, size, 3), dtype=model.dtype
+        )
+    )
+    _, caches = pipe._start_fn(params, x_warm, out_hw=(size, size))
+    x = jax.device_put(
+        jnp.asarray(np.random.randn(1, size, size, 3), dtype=model.dtype)
+    )
+
+    t0 = time.time()
+    depth, caches = pipe._step_fn(params, x, caches, out_hw=(size, size))
+    compile_s = time.time() - t0
+    for _ in range(warmup):
+        depth, caches = pipe._step_fn(params, x, caches, out_hw=(size, size))
+    float(jnp.sum(depth[0, :2, :2]))
+    t0 = time.time()
+    for _ in range(iters):
+        depth, caches = pipe._step_fn(params, x, caches, out_hw=(size, size))
+    float(jnp.sum(depth[0, :2, :2]))
+    med = (time.time() - t0) / iters
+    return {
+        "encoder": encoder,
+        "size": size,
+        "compile_s": round(compile_s, 2),
+        "median_step_s": round(med, 4),
+        "frames_per_s": round(1.0 / med, 2),
+    }
+
+
 def bench_data_parallel(encoder: str = "vits", size: int = 518,
                         frames: int = 32, iters: int = 5) -> dict:
     """Per-chip window throughput under the data-parallel window sharding
@@ -184,6 +232,7 @@ def main() -> int:
         for key, fn in (
             ("vitl", lambda: bench_window("vitl")),
             ("streaming_vits", lambda: bench_streaming("vits")),
+            ("kv_streaming_vits", lambda: bench_kv_streaming("vits")),
             ("dp_vits", lambda: bench_data_parallel("vits")),
         ):
             try:

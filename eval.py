@@ -54,6 +54,10 @@ def main(argv=None) -> int:
                    help="streaming: per-frame scale/shift realignment (ref eval.py:39)")
     p.add_argument("--skip_tmp_block", action="store_true",
                    help="skip the third motion module (ref eval.py:44)")
+    p.add_argument("--kv_cache", action="store_true",
+                   help="with --streaming: KV-cache streaming mode (O(1) "
+                        "work per frame; extension beyond the reference — "
+                        "see run.py --kv_cache)")
     p.add_argument("--data_parallel", action="store_true")
     args = p.parse_args(argv)
 
@@ -84,7 +88,28 @@ def main(argv=None) -> int:
 
     normalize_args(args)
 
-    if args.streaming:
+    if args.streaming and args.kv_cache:
+        from video_depth_anything_tpu.inference.kv_streaming import (
+            KVStreamingPipeline,
+        )
+
+        class _KVAdapter:
+            def __init__(self, inner, skip_tmp_block):
+                self.inner = inner
+                self.skip_tmp_block = skip_tmp_block
+
+            def infer_video_depth(self, frames, *a, **k):
+                return self.inner.infer(frames, skip_tmp_block=self.skip_tmp_block)
+
+        pipeline = _KVAdapter(
+            KVStreamingPipeline(
+                model,
+                input_size=args.input_size,
+                inference_length=args.inference_length,
+            ),
+            args.skip_tmp_block,
+        )
+    elif args.streaming:
         from video_depth_anything_tpu.inference.streaming import StreamingDepthPipeline
 
         class _Adapter:

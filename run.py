@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "--align_each_new_frame (unfilled-cache crash, also "
                         "latent in the reference)")
     p.add_argument("--align_each_new_frame", action="store_true")
+    p.add_argument("--kv_cache", action="store_true",
+                   help="with --process_single_image: KV-cache streaming "
+                        "(O(1) work per frame; motion modules attend the new "
+                        "frame over per-module K/V ring caches instead of "
+                        "re-running the 32-frame window).  The working "
+                        "equivalent of the reference's experimental "
+                        "DPTHeadTemporalCrossAtt (dpt_temporal.py:263-343). "
+                        "Incompatible with --keyframe_list/"
+                        "--align_each_new_frame (pure sliding window)")
     # outputs
     p.add_argument("--grayscale", action="store_true")
     p.add_argument("--save_npz", action="store_true")
@@ -127,7 +136,23 @@ def main(argv=None) -> int:
     normalize_args(args)
 
     t0 = time.time()
-    if args.process_single_image:
+    if args.process_single_image and args.kv_cache:
+        if args.align_each_new_frame:
+            raise SystemExit(
+                "--kv_cache is a pure sliding window (cached frames cannot "
+                "be re-predicted); --align_each_new_frame is unsupported"
+            )
+        from video_depth_anything_tpu.inference.kv_streaming import (
+            KVStreamingPipeline,
+        )
+
+        pipe = KVStreamingPipeline(
+            model,
+            input_size=args.input_size,
+            inference_length=args.inference_length,
+        )
+        depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
+    elif args.process_single_image:
         from video_depth_anything_tpu.inference.streaming import StreamingDepthPipeline
 
         pipe = StreamingDepthPipeline(

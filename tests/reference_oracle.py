@@ -61,12 +61,19 @@ def load_reference_vda(encoder: str = "vits", num_frames: int = 32, seed: int = 
 
     configs = {
         "vits": dict(features=64, out_channels=[48, 96, 192, 384]),
+        "vitb": dict(features=128, out_channels=[96, 192, 384, 768]),
         "vitl": dict(features=256, out_channels=[256, 512, 1024, 1024]),
     }
     torch.manual_seed(seed)
     model = VideoDepthAnything(
         encoder=encoder, num_frames=num_frames, **configs[encoder]
     )
+    if encoder == "vitb":
+        # the reference's intermediate_layer_idx dict only lists vits/vitl
+        # (video_depth.py:48-51) though its DINOv2 factory supports vitb
+        # (dinov2.py:339-360); patch the instance so the oracle covers the
+        # vitb tap layers our config.py uses
+        model.intermediate_layer_idx["vitb"] = [2, 5, 8, 11]
     return model.eval()
 
 

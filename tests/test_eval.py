@@ -102,6 +102,41 @@ def test_tae_positive_for_flicker():
     assert tae > 0.1
 
 
+def test_tae_closed_form_nontrivial_pose_and_varying_k():
+    """Closed-form TAE oracle (VERDICT r1 item 7): two constant-depth
+    frames, camera 1 rotated about the optical axis AND translated in
+    (x, z), per-frame differing intrinsics.
+
+    A z-axis rotation + translation maps a cam-0 point (x, y, z) to a cam-1
+    point whose z-coordinate is z + tz, independent of (x, y); so every
+    source pixel of the constant plane z0 projects the value z0+tz into
+    frame 1, and every frame-1 pixel of the constant plane z1 projects
+    z1−tz back.  The expected value follows analytically:
+
+        TAE = ½·(|z0+tz − z1|/z1 + |z1−tz − z0|/z0)
+    """
+    h, w = 24, 30
+    z0, z1, tz, tx = 5.0, 5.5, 0.25, 0.4
+    depths = np.stack(
+        [np.full((h, w), z0, np.float32), np.full((h, w), z1, np.float32)]
+    )
+    k = np.stack([
+        np.array([[40.0, 0, 15.0], [0, 38.0, 12.0], [0, 0, 1]]),
+        np.array([[36.0, 0, 14.0], [0, 42.0, 11.0], [0, 0, 1]]),
+    ])
+    th = 0.15  # rotation about the optical (z) axis
+    rz = np.array([
+        [np.cos(th), -np.sin(th), 0, tx],
+        [np.sin(th), np.cos(th), 0, 0.0],
+        [0, 0, 1, tz],
+        [0, 0, 0, 1],
+    ])
+    extr = np.stack([np.eye(4), rz])  # world→cam; E1 @ inv(E0) = rz
+    got = temporal_alignment_error(depths, k, extr)
+    want = 0.5 * (abs(z0 + tz - z1) / z1 + abs(z1 - tz - z0) / z0)
+    assert abs(got - want) < 1e-6, (got, want)
+
+
 def test_csv_saver_roundtrip(tmp_path):
     path = str(tmp_path / "m.csv")
     saver = CsvSaver(path)

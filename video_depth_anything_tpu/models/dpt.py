@@ -131,6 +131,19 @@ class DPTHeadTemporal(nn.Module):
         y = module(y)
         return y.reshape(x.shape)
 
+    def _temporal_collect(self, module, x: jnp.ndarray, batch: int):
+        """Like ``_temporal`` but also returns the module's position-free
+        K/V caches for the KV streaming mode (warmup capture)."""
+        y = x.reshape((batch, x.shape[0] // batch) + x.shape[1:])
+        y, caches = module.collect(y)
+        return y.reshape(x.shape), caches
+
+    def _temporal_kv(self, module, x_new: jnp.ndarray, caches):
+        """(1, H, W, C) newest-frame map → module.kv_step → same shape."""
+        y = x_new.reshape((1,) + x_new.shape)
+        y, new_caches = module.kv_step(y, caches)
+        return y.reshape(x_new.shape), new_caches
+
     def level_features(
         self, features: Sequence[jnp.ndarray], ph: int, pw: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -271,6 +284,76 @@ class DPTHeadTemporal(nn.Module):
         path2 = self.refinenet2(path3, r2, out_hw=r1.shape[-3:-1])
         path1 = self.refinenet1(path2, r1)
         return self._output_head(path1, ph, pw)
+
+    # -- KV-cache streaming (the working DPTHeadTemporalCrossAtt equivalent,
+    # ref dpt_temporal.py:263-343 + motion_module.py:275-288, bug-fixed) ----
+
+    def window_forward_collect_kv(
+        self,
+        features: Sequence[jnp.ndarray],
+        batch: int,
+        frames: int,
+        ph: int,
+        pw: int,
+        skip_tmp_block: bool = False,
+    ):
+        """Batch window forward that ALSO captures every motion module's
+        position-free K/V — the warmup pass of the KV streaming mode.
+        Returns ``(depth, (kv0, kv1, kv2, kv3))``; ``kv2`` is ``()`` when
+        ``skip_tmp_block`` (motion module 2 never runs in that config)."""
+        l1, l2, l3, l4 = self.level_features(features, ph, pw)
+
+        l3, kv0 = self._temporal_collect(self.motion_0, l3, batch)
+        l4, kv1 = self._temporal_collect(self.motion_1, l4, batch)
+
+        r1 = self.layer1_rn(l1)
+        r2 = self.layer2_rn(l2)
+        r3 = self.layer3_rn(l3)
+        r4 = self.layer4_rn(l4)
+
+        path4 = self.refinenet4(r4, out_hw=r3.shape[-3:-1])
+        kv2 = ()
+        if not skip_tmp_block:
+            path4, kv2 = self._temporal_collect(self.motion_2, path4, batch)
+        path3 = self.refinenet3(path4, r3, out_hw=r2.shape[-3:-1])
+        path3, kv3 = self._temporal_collect(self.motion_3, path3, batch)
+        path2 = self.refinenet2(path3, r2, out_hw=r1.shape[-3:-1])
+        path1 = self.refinenet1(path2, r1)
+        return self._output_head(path1, ph, pw), (kv0, kv1, kv2, kv3)
+
+    def streaming_kv_forward(
+        self,
+        new_features: Sequence[jnp.ndarray],
+        kv_caches,
+        ph: int,
+        pw: int,
+        skip_tmp_block: bool = False,
+    ):
+        """One KV-streaming step: encoder taps of the newest frame only →
+        depth of that frame, O(1 frame) work everywhere (each motion module
+        attends its single query frame over its K/V ring cache — no
+        re-running the 32-frame window, unlike ``streaming_forward``).
+        Returns ``(depth (1, 14ph, 14pw, 1), new kv_caches)``."""
+        n1, n2, n3, n4 = self.level_features(new_features, ph, pw)
+        kv0, kv1, kv2, kv3 = kv_caches
+
+        l3, kv0 = self._temporal_kv(self.motion_0, n3, kv0)
+        l4, kv1 = self._temporal_kv(self.motion_1, n4, kv1)
+
+        r1 = self.layer1_rn(n1)
+        r2 = self.layer2_rn(n2)
+        r3 = self.layer3_rn(l3)
+        r4 = self.layer4_rn(l4)
+
+        path4 = self.refinenet4(r4, out_hw=r3.shape[-3:-1])
+        if not skip_tmp_block:
+            path4, kv2 = self._temporal_kv(self.motion_2, path4, kv2)
+        path3 = self.refinenet3(path4, r3, out_hw=r2.shape[-3:-1])
+        path3, kv3 = self._temporal_kv(self.motion_3, path3, kv3)
+        path2 = self.refinenet2(path3, r2, out_hw=r1.shape[-3:-1])
+        path1 = self.refinenet1(path2, r1)
+        depth = self._output_head(path1, ph, pw)
+        return depth, (kv0, kv1, kv2, kv3)
 
     # -- streaming forward --------------------------------------------------
 

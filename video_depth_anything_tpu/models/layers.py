@@ -23,17 +23,39 @@ class DTypeDense(nn.Module):
 
     features: int
     use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+            "kernel", self.kernel_init, (x.shape[-1], self.features)
         )
         y = x @ kernel.astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(x.dtype)
         return y
+
+
+class DTypeLayerNorm(nn.Module):
+    """LayerNorm matching ``nn.LayerNorm(dtype=x.dtype)`` numerics for
+    setup-style modules: fp32 statistics and affine (flax's
+    force_float32_reductions), result cast back to the input dtype.  Param
+    names match ``nn.LayerNorm``."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = jnp.maximum(
+            (xf * xf).mean(axis=-1, keepdims=True) - mean * mean, 0.0
+        )
+        y = (xf - mean) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+        return y.astype(x.dtype)
 
 
 def _pad128(c: int) -> int:

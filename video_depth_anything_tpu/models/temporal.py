@@ -26,7 +26,11 @@ import jax.numpy as jnp
 
 from video_depth_anything_tpu.config import MotionModuleConfig
 from video_depth_anything_tpu.models.dinov2 import _gelu
-from video_depth_anything_tpu.models.layers import DTypeDense, GroupNorm
+from video_depth_anything_tpu.models.layers import (
+    DTypeDense,
+    DTypeLayerNorm,
+    GroupNorm,
+)
 
 
 def sinusoidal_position_table(max_len: int, dim: int) -> np.ndarray:
@@ -148,34 +152,90 @@ class TemporalSelfAttention(nn.Module):
         q, k, v = self._qkv(x, t)
         return self._attend(q, k, v, b, s, c)
 
+    # -- KV-cache streaming ------------------------------------------------
+    #
+    # The ring caches hold *position-free* projections to_k(x) / to_v(x):
+    # to_q/k/v are bias-free (ref motion_module/attention.py), so projection
+    # commutes with the positional add — to_k(x + pe) = to_k(x) + to_k(pe) —
+    # and APE slots can be assigned at attend time, oldest→newest over the
+    # *current* window.  Cached frames therefore keep correct relative
+    # positions as the window slides, unlike the reference's experimental
+    # ``save_qkv`` cache (motion_module.py:275-288) which bakes each frame's
+    # absolute position in at record time (and concatenates keys into the
+    # value cache — the :281 bug, fixed here).
+
+    def _pe_proj(self, proj, t: int, dtype) -> jnp.ndarray:
+        """(t, 1, C) projected APE contributions for window slots 0..t−1."""
+        pe = sinusoidal_position_table(self.cfg.temporal_max_len, self.dim)[:t]
+        return proj(jnp.asarray(pe[:, None, :], dtype))
+
+    def call_collect(self, x: jnp.ndarray):
+        """Full-window attention that ALSO returns the position-free K/V
+        ``(B, T, S, C)`` for seeding a streaming ring cache (warmup)."""
+        cfg = self.cfg
+        b, t, s, c = x.shape
+        k_free = self.to_k(x)
+        v_free = self.to_v(x)
+        if cfg.pos_embedding_type == "ape":
+            q = self.to_q(self._pos(x, t))
+            k = k_free + self._pe_proj(self.to_k, t, x.dtype)[None]
+            v = v_free + self._pe_proj(self.to_v, t, x.dtype)[None]
+        elif cfg.pos_embedding_type == "rope":
+            cos, sin = rope_tables(cfg.temporal_max_len, self.dim)
+            cos_t = jnp.asarray(cos[:t, None, :])
+            sin_t = jnp.asarray(sin[:t, None, :])
+            q = _apply_rope(self.to_q(x), cos_t, sin_t)
+            k = _apply_rope(k_free, cos_t, sin_t)
+            v = v_free
+        else:
+            q, k, v = self.to_q(x), k_free, v_free
+        out = self._attend(q, k, v, b, s, c)
+        return out, k_free, v_free
+
     def kv_step(self, x_new: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray):
-        """Single-frame step against a K/V ring cache.
+        """Single-frame step against a position-free K/V ring cache.
 
         ``x_new (B, 1, S, C)`` is the pre-normed hidden of the newest frame;
-        ``k_cache, v_cache (B, T, S, C)`` hold the previous frames' projected
-        keys/values.  The new frame takes the *last* APE slot (the cache is
-        ordered oldest→newest), attends over ``cache ∪ new``, and the caches
-        are shifted left by one with the new projections appended.
+        ``k_cache, v_cache (B, T−1, S, C)`` hold the previous frames'
+        position-free projections (oldest→newest).  The new frame takes the
+        last APE slot of the current window, attends over ``cache ∪ new``,
+        and the caches shift left by one with the new projections appended.
         Returns ``(out (B, 1, S, C), k_cache', v_cache')``.
         """
         cfg = self.cfg
         b, _, s, c = x_new.shape
-        t_cache = k_cache.shape[1]
+        t = k_cache.shape[1] + 1
 
-        pe = sinusoidal_position_table(cfg.temporal_max_len, self.dim)
-        if cfg.pos_embedding_type == "ape":
-            x_pos = x_new + jnp.asarray(
-                pe[min(t_cache, cfg.temporal_max_len - 1)], x_new.dtype
-            )
-        else:
-            x_pos = x_new
-        q = self.to_q(x_pos)
-        k_new = self.to_k(x_pos)
-        v_new = self.to_v(x_pos)
-
+        k_new = self.to_k(x_new)
+        v_new = self.to_v(x_new)
         k_all = jnp.concatenate([k_cache, k_new], axis=1)
         v_all = jnp.concatenate([v_cache, v_new], axis=1)
-        out = self._attend(q, k_all, v_all, b, s, c)
+
+        if cfg.pos_embedding_type == "ape":
+            pe = sinusoidal_position_table(cfg.temporal_max_len, self.dim)
+            q = self.to_q(
+                x_new
+                + jnp.asarray(pe[min(t, cfg.temporal_max_len) - 1], x_new.dtype)
+            )
+            k_att = k_all + self._pe_proj(self.to_k, t, x_new.dtype)[None]
+            v_att = v_all + self._pe_proj(self.to_v, t, x_new.dtype)[None]
+        elif cfg.pos_embedding_type == "rope":
+            cos, sin = rope_tables(cfg.temporal_max_len, self.dim)
+            q = _apply_rope(
+                self.to_q(x_new),
+                jnp.asarray(cos[t - 1 : t, None, :]),
+                jnp.asarray(sin[t - 1 : t, None, :]),
+            )
+            k_att = _apply_rope(
+                k_all,
+                jnp.asarray(cos[:t, None, :]),
+                jnp.asarray(sin[:t, None, :]),
+            )
+            v_att = v_all
+        else:
+            q, k_att, v_att = self.to_q(x_new), k_all, v_all
+
+        out = self._attend(q, k_att, v_att, b, s, c)
         # sliding-window eviction: drop the oldest cached frame
         return out, k_all[:, 1:], v_all[:, 1:]
 
@@ -196,22 +256,59 @@ class GEGLUFeedForward(nn.Module):
 
 
 class TemporalTransformerBlock(nn.Module):
+    """2 × (LN → temporal attention → residual) + LN → GEGLU FF → residual.
+
+    Setup-style (param names unchanged from the original compact form) so
+    that ``collect`` / ``kv_step`` can reuse the same submodules for the
+    KV-cache streaming mode.
+    """
+
     cfg: MotionModuleConfig
     dim: int
     attn_impl: str = "auto"
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         cfg = self.cfg
         for i in range(cfg.num_attention_blocks):
-            h = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, name=f"norm_{i}", dtype=x.dtype
-            )(x)
-            x = x + TemporalSelfAttention(
-                cfg, self.dim, self.attn_impl, name=f"attn_{i}"
-            )(h)
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ff_norm", dtype=x.dtype)(x)
-        return x + GEGLUFeedForward(self.dim, cfg.ff_mult, name="ff")(h)
+            setattr(self, f"norm_{i}", DTypeLayerNorm(cfg.layer_norm_eps))
+            setattr(
+                self,
+                f"attn_{i}",
+                TemporalSelfAttention(cfg, self.dim, self.attn_impl),
+            )
+        self.ff_norm = DTypeLayerNorm(cfg.layer_norm_eps)
+        self.ff = GEGLUFeedForward(self.dim, cfg.ff_mult)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.cfg.num_attention_blocks):
+            h = getattr(self, f"norm_{i}")(x)
+            x = x + getattr(self, f"attn_{i}")(h)
+        h = self.ff_norm(x)
+        return x + self.ff(h)
+
+    def collect(self, x: jnp.ndarray):
+        """Full-window forward + position-free K/V per attention block."""
+        caches = []
+        for i in range(self.cfg.num_attention_blocks):
+            h = getattr(self, f"norm_{i}")(x)
+            out, kf, vf = getattr(self, f"attn_{i}").call_collect(h)
+            x = x + out
+            caches.append((kf, vf))
+        h = self.ff_norm(x)
+        return x + self.ff(h), tuple(caches)
+
+    def kv_step(self, x_new: jnp.ndarray, caches):
+        """Single-frame step; ``caches``: tuple per attention block of
+        (k_cache, v_cache).  LN/FF run on the new frame only (both are
+        strictly per-frame ops)."""
+        new_caches = []
+        for i in range(self.cfg.num_attention_blocks):
+            h = getattr(self, f"norm_{i}")(x_new)
+            out, k2, v2 = getattr(self, f"attn_{i}").kv_step(h, *caches[i])
+            x_new = x_new + out
+            new_caches.append((k2, v2))
+        h = self.ff_norm(x_new)
+        return x_new + self.ff(h), tuple(new_caches)
 
 
 class TemporalModule(nn.Module):
@@ -221,30 +318,67 @@ class TemporalModule(nn.Module):
     channels: int
     attn_impl: str = "auto"
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         cfg = self.cfg
-        heads = cfg.num_heads
-        inner = heads * (self.channels // heads)
-        b, t, h, w, c = x.shape
-
-        residual = x
-        y = GroupNorm(cfg.norm_num_groups, cfg.group_norm_eps, name="norm")(x)
-        y = nn.Dense(inner, name="proj_in", dtype=x.dtype)(y)
-        # (B, T, H, W, C) -> (B, T, H*W, C): transpose-free; the attention
-        # einsums contract over the frame axis in place.
-        y = y.reshape(b, t, h * w, inner)
+        inner = cfg.num_heads * (self.channels // cfg.num_heads)
+        self.norm = GroupNorm(cfg.norm_num_groups, cfg.group_norm_eps)
+        self.proj_in = DTypeDense(inner)
         for i in range(cfg.num_transformer_blocks):
-            y = TemporalTransformerBlock(
-                cfg, inner, self.attn_impl, name=f"block_{i}"
-            )(y)
-        y = y.reshape(b, t, h, w, inner)
+            setattr(
+                self,
+                f"block_{i}",
+                TemporalTransformerBlock(cfg, inner, self.attn_impl),
+            )
         # proj_out is zero-initialised (ref motion_module.py:25-29,61-62), so
         # a freshly initialised module is the identity.
-        y = nn.Dense(
-            self.channels,
-            name="proj_out",
-            dtype=x.dtype,
-            kernel_init=nn.initializers.zeros,
-        )(y)
+        self.proj_out = DTypeDense(
+            self.channels, kernel_init=nn.initializers.zeros
+        )
+
+    def _inner(self) -> int:
+        return self.cfg.num_heads * (self.channels // self.cfg.num_heads)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, h, w, c = x.shape
+        residual = x
+        y = self.proj_in(self.norm(x))
+        # (B, T, H, W, C) -> (B, T, H*W, C): transpose-free; the attention
+        # einsums contract over the frame axis in place.
+        y = y.reshape(b, t, h * w, self._inner())
+        for i in range(self.cfg.num_transformer_blocks):
+            y = getattr(self, f"block_{i}")(y)
+        y = y.reshape(b, t, h, w, self._inner())
+        y = self.proj_out(y)
         return y + residual
+
+    def collect(self, x: jnp.ndarray):
+        """Full-window forward + KV caches: tuple per transformer block of
+        per-attention-block (k, v), each ``(B, T, H·W, inner)``."""
+        b, t, h, w, c = x.shape
+        residual = x
+        y = self.proj_in(self.norm(x))
+        y = y.reshape(b, t, h * w, self._inner())
+        caches = []
+        for i in range(self.cfg.num_transformer_blocks):
+            y, ci = getattr(self, f"block_{i}").collect(y)
+            caches.append(ci)
+        y = y.reshape(b, t, h, w, self._inner())
+        y = self.proj_out(y)
+        return y + residual, tuple(caches)
+
+    def kv_step(self, x_new: jnp.ndarray, caches):
+        """Single-frame ``(B, 1, H, W, C)`` step against the module's KV
+        caches; GroupNorm/proj/FF are per-frame, so only the new frame is
+        computed — O(1) per frame instead of re-running the 32-frame
+        window."""
+        b, t, h, w, c = x_new.shape
+        residual = x_new
+        y = self.proj_in(self.norm(x_new))
+        y = y.reshape(b, t, h * w, self._inner())
+        new_caches = []
+        for i in range(self.cfg.num_transformer_blocks):
+            y, ci = getattr(self, f"block_{i}").kv_step(y, caches[i])
+            new_caches.append(ci)
+        y = y.reshape(b, t, h, w, self._inner())
+        y = self.proj_out(y)
+        return y + residual, tuple(new_caches)

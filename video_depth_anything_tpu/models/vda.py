@@ -92,6 +92,42 @@ class VideoDepthAnything(nn.Module):
         return depth[..., 0], new_feats
 
 
+    # -- KV-cache streaming methods -----------------------------------------
+
+    def streaming_kv_start(self, x: jnp.ndarray, skip_tmp_block: bool = False):
+        """Warmup: one batch window ``(1, T, H, W, 3)`` → (depth
+        ``(1, T, H, W)``, motion-module KV caches).  The caches hold every
+        window frame; the pipeline drops the oldest before the first
+        kv step."""
+        cfg = self.cfg
+        b, t, h, w, _ = x.shape
+        ph, pw = self._check_hw(h, w)
+        frames = x.reshape(b * t, h, w, 3)
+        feats = self.pretrained(frames, cfg.intermediate_layer_idx)
+        depth, caches = self.head.window_forward_collect_kv(
+            feats, b, t, ph, pw, skip_tmp_block
+        )
+        depth = depth.astype(x.dtype)
+        depth = bilinear_resize(depth, h, w)
+        return depth.reshape(b, t, h, w), caches
+
+    def streaming_kv_step(
+        self, x: jnp.ndarray, kv_caches, skip_tmp_block: bool = False
+    ):
+        """One newest frame ``(1, H, W, 3)`` + KV caches → (depth
+        ``(1, H, W)`` at input resolution, shifted caches).  O(1) per frame:
+        nothing outside this frame is recomputed."""
+        _, h, w, _ = x.shape
+        ph, pw = self._check_hw(h, w)
+        feats = self.pretrained(x, self.cfg.intermediate_layer_idx)
+        depth, new_caches = self.head.streaming_kv_forward(
+            feats, kv_caches, ph, pw, skip_tmp_block=skip_tmp_block
+        )
+        depth = depth.astype(x.dtype)
+        depth = bilinear_resize(depth, h, w)
+        return depth[..., 0], new_caches
+
+
 class VDAModel:
     """Convenience bundle: config + params + jitted window forward.
 
