@@ -66,9 +66,11 @@ def bench_window(encoder: str = "vits", size: int = 518, frames: int = 32,
 
 
 def bench_streaming(encoder: str = "vits", size: int = 518,
-                    iters: int = 20, warmup: int = 3) -> dict:
-    """Steady-state streaming step (device-resident cache, one fused
-    program per frame: gather → encode+head → cache write)."""
+                    iters: int = 20, warmup: int = 3, chunk: int = 8) -> dict:
+    """Steady-state streaming throughput, chunked production path: the
+    feature cache holds pre-motion per-frame features, so ``chunk`` steady
+    frames batch into one device program (batched encoder + batched
+    K-window head + slot scatter) — see inference/streaming.py."""
     import jax
     import jax.numpy as jnp
 
@@ -79,25 +81,24 @@ def bench_streaming(encoder: str = "vits", size: int = 518,
 
     model = VDAModel(encoder, dtype=jnp.bfloat16)
     model.init_params(jax.random.PRNGKey(0))
-    pipe = StreamingDepthPipeline(model)
+    pipe = StreamingDepthPipeline(model, chunk_size=chunk)
     params = model.params
 
-    x = jax.device_put(
-        jnp.asarray(np.random.randn(1, size, size, 3), dtype=model.dtype)
+    xs = jax.device_put(
+        jnp.asarray(np.random.randn(chunk, size, size, 3), dtype=model.dtype)
     )
-    feats = pipe._encode_fn(params, x)
+    feats = pipe._encode_fn(params, xs[:1])
     cache = tuple(
         jnp.zeros((pipe.cache_len,) + f.shape[1:], dtype=f.dtype)
         for f in feats
     )
-    use_idx = jnp.asarray(
-        np.asarray(pipe.use_feature_idx[-1], dtype=np.int64)
-    )
-    slot = jnp.int32(pipe.cache_len - 1)
+    gather, slots, _ = pipe._steady_indices(list(range(pipe.cache_len)), chunk)
+    gather = jnp.asarray(gather)
+    slots = jnp.asarray(slots)
 
     def step(cache):
-        return pipe._step_fn(
-            params, x, cache, use_idx, slot, pred_idx=None, out_hw=(size, size)
+        return pipe._chunk_fn(
+            params, xs, cache, gather, slots, out_hw=(size, size)
         )
 
     t0 = time.time()
@@ -110,10 +111,11 @@ def bench_streaming(encoder: str = "vits", size: int = 518,
     for _ in range(iters):
         depth, cache = step(cache)
     float(jnp.sum(depth[0, :2, :2]))
-    med = (time.time() - t0) / iters
+    med = (time.time() - t0) / iters / chunk
     return {
         "encoder": encoder,
         "size": size,
+        "chunk": chunk,
         "compile_s": round(compile_s, 2),
         "median_step_s": round(med, 4),
         "frames_per_s": round(1.0 / med, 2),

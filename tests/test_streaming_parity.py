@@ -93,3 +93,24 @@ def test_streaming_align_rejects_zero_keyframe():
             keyframe_list=(0, 4),
             align_each_new_frame=True,
         )
+
+
+def test_chunked_steady_state_matches_per_frame(rng):
+    """The chunked steady-state program (K frames per dispatch, batched
+    encoder + batched K-window head + slot scatter) is exactly the math of
+    K per-frame steps — the feature cache holds pre-motion per-frame
+    features, so consecutive non-align steps have no sequential dependency.
+    Covers the in-chunk gather redirects (a frame attending slots rewritten
+    earlier in the same chunk) and the per-frame tail fallback."""
+    model = VDAModel("vits", dtype=jnp.float32)
+    model.init_params(__import__("jax").random.PRNGKey(3))
+    frames = (rng.rand(26, 36, 44, 3) * 255).astype(np.uint8)
+    kwargs = dict(input_size=28, inference_length=6, keyframe_list=(2,))
+
+    ref_pipe = StreamingDepthPipeline(model, chunk_size=1, **kwargs)
+    want, _ = ref_pipe.infer(frames)
+    chunk_pipe = StreamingDepthPipeline(model, chunk_size=5, **kwargs)
+    got, _ = chunk_pipe.infer(frames)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)

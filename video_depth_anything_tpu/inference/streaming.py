@@ -86,6 +86,7 @@ class StreamingDepthPipeline:
         inference_length: int = 32,
         keyframe_list: Tuple[int, ...] = (0, 12),
         align_each_new_frame: bool = False,
+        chunk_size: int = 8,
     ):
         if inference_length <= len(keyframe_list) + 2:
             raise ValueError("inference_length too small for the keyframe list")
@@ -96,6 +97,12 @@ class StreamingDepthPipeline:
         self.max_kf = max(keyframe_list)
         self.cache_len = self.L + self.max_kf - 1
         self.align = align_each_new_frame
+        # Steady-state frames (no per-frame host feedback) are processed
+        # ``chunk_size`` at a time through one batched program — the cache
+        # holds *pre-motion* per-frame features, so consecutive steps have no
+        # sequential dependency and batch exactly.  Alignment mode needs each
+        # frame's depth on the host before the next step → always per-frame.
+        self.chunk = max(1, int(chunk_size)) if not align_each_new_frame else 1
         (self.static_kf, self.use_feature_idx, self.align_idx) = streaming_schedule(
             inference_length, keyframe_list
         )
@@ -175,6 +182,66 @@ class StreamingDepthPipeline:
         return step
 
     @functools.cached_property
+    def _chunk_fn(self):
+        """K steady-state frames per dispatch (see ``streaming_chunk_step``):
+        batched encoder + batched K-window head + scatter of the K new
+        feature frames into their freed slots, all one device program."""
+        module = self.model.module
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("skip_tmp_block", "out_hw"),
+            donate_argnums=(2,),
+        )
+        def chunk_step(
+            params, xs, cache, gather_idx, write_slots,
+            skip_tmp_block=False, out_hw=None,
+        ):
+            depth, new_feats = module.apply(
+                {"params": params},
+                xs,
+                cache,
+                gather_idx,
+                skip_tmp_block=skip_tmp_block,
+                method="streaming_chunk_step",
+            )
+            if out_hw is not None and out_hw != depth.shape[1:]:
+                from video_depth_anything_tpu.ops.resize import bilinear_resize
+
+                depth = bilinear_resize(
+                    depth[..., None].astype(jnp.float32), *out_hw
+                )[..., 0]
+            cache = tuple(
+                c.at[write_slots].set(f) for c, f in zip(cache, new_feats)
+            )
+            return depth, cache
+
+        return chunk_step
+
+    def _steady_indices(self, phys: List[int], k: int):
+        """Advance the virtual→physical slot map by ``k`` steady frames.
+
+        Returns ``(gather_idx (k, L−1), write_slots (k,), new phys)``.
+        Gather positions ≥ cache_len point at earlier frames of the same
+        chunk (their slot was freed and rewritten within the chunk — the
+        device reads them from the freshly computed features instead)."""
+        virt = self.use_feature_idx[-1]
+        gather = np.empty((k, len(virt)), dtype=np.int32)
+        slots = np.empty((k,), dtype=np.int32)
+        written: dict = {}
+        for j in range(k):
+            for a, v in enumerate(virt):
+                p = phys[v]
+                gather[j, a] = (
+                    self.cache_len + written[p] if p in written else p
+                )
+            slot = phys[1]
+            slots[j] = slot
+            written[slot] = j
+            phys = [phys[0]] + phys[2:] + [slot]
+        return gather, slots, phys
+
+    @functools.cached_property
     def _cache_write_fn(self):
         # donated single-slot write: the cache buffers update in place on
         # device instead of being copied whole every frame
@@ -213,13 +280,42 @@ class StreamingDepthPipeline:
         # the device only writes the one new frame into the freed slot.
         phys = list(range(self.cache_len))
 
-        it = range(org_len)
+        bar = None
         if progress:
             from tqdm import tqdm
 
-            it = tqdm(it, desc="frames")
+            bar = tqdm(total=org_len, desc="frames")
 
-        for i in it:
+        steady_from = L + max_kf
+        i = 0
+        while i < org_len:
+            # -- chunked steady state: no host feedback, batch K frames -----
+            if (
+                self.chunk > 1
+                and i >= steady_from
+                and org_len - i >= self.chunk
+            ):
+                k = self.chunk
+                xs = jnp.asarray(pre[i : i + k], dtype=dtype)
+                gather, slots, phys = self._steady_indices(phys, k)
+                depth, cache = self._chunk_fn(
+                    params,
+                    xs,
+                    cache,
+                    jnp.asarray(gather),
+                    jnp.asarray(slots),
+                    skip_tmp_block=skip_tmp_block,
+                    out_hw=(fh, fw),
+                )
+                pending.append(depth)
+                if len(pending) > 1:
+                    d = np.asarray(pending.pop(0), dtype=np.float32)
+                    depth_list.extend(d[j] for j in range(d.shape[0]))
+                i += k
+                if bar is not None:
+                    bar.update(k)
+                continue
+
             x = jnp.asarray(pre[i][None], dtype=dtype)
             if i < L - 1:
                 feats = self._encode_fn(params, x)
@@ -229,6 +325,9 @@ class StreamingDepthPipeline:
                         for f in feats
                     )
                 cache = self._cache_write_fn(cache, feats, jnp.int32(i))
+                i += 1
+                if bar is not None:
+                    bar.update(1)
                 continue
 
             # select gather schedule + depth prediction slots
@@ -309,7 +408,12 @@ class StreamingDepthPipeline:
                 if len(pending) > 1:
                     d = np.asarray(pending.pop(0), dtype=np.float32)
                     depth_list.extend(d[k] for k in range(d.shape[0]))
+            i += 1
+            if bar is not None:
+                bar.update(1)
 
+        if bar is not None:
+            bar.close()
         while pending:
             d = np.asarray(pending.pop(0), dtype=np.float32)
             depth_list.extend(d[k] for k in range(d.shape[0]))

@@ -78,8 +78,14 @@ class FeatureFusionBlock(nn.Module):
         x = ResidualConvUnit(self.features, name="rcu2")(x)
         if out_hw is None:
             out_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
-        x = bilinear_resize(x, out_hw[0], out_hw[1])
-        return Conv2d(self.features, 1, name="out_conv")(x)
+        # out_conv (1×1) BEFORE the upsample — the reference applies it after
+        # (util/blocks.py:156-161), but bilinear interpolation is linear and
+        # its align_corners=True weights sum to 1 per output pixel, so the
+        # conv (bias included) commutes with the resize exactly in real
+        # arithmetic.  Running the GEMM at the pre-resize resolution saves
+        # ~4× its FLOPs and a full-size HBM round trip per fusion block.
+        x = Conv2d(self.features, 1, name="out_conv")(x)
+        return bilinear_resize(x, out_hw[0], out_hw[1])
 
 
 class DPTHeadTemporal(nn.Module):
@@ -354,6 +360,58 @@ class DPTHeadTemporal(nn.Module):
         path1 = self.refinenet1(path2, r1)
         depth = self._output_head(path1, ph, pw)
         return depth, (kv0, kv1, kv2, kv3)
+
+    # -- chunked steady-state streaming --------------------------------------
+
+    def streaming_chunk_forward(
+        self,
+        n1: jnp.ndarray,
+        n2: jnp.ndarray,
+        w3: jnp.ndarray,
+        w4: jnp.ndarray,
+        ph: int,
+        pw: int,
+        skip_tmp_block: bool = False,
+    ) -> jnp.ndarray:
+        """K independent steady-state streaming steps as ONE batched program.
+
+        The level-feature cache holds *pre-motion* per-frame features — pure
+        functions of each frame's encoder taps — so K consecutive steady
+        steps (``pred_idx=None``: depth of the newest frame only) have no
+        sequential dependency and batch over a leading chunk axis.  Exactly
+        the math of K ``streaming_forward`` calls, at batch efficiency and
+        1/K the dispatch overhead.
+
+        ``n1, n2``: the newest frame per chunk position, ``(K, h, w, C)``
+        (levels 1/2 only feed the predicted frame's refinenet path).
+        ``w3, w4``: each position's full gathered window ``(K, T, h, w, C)``
+        (cache gather + its own frame appended, done by the caller).
+        Returns depth ``(K, 14ph, 14pw, 1)``.
+        """
+        k, t = w3.shape[0], w3.shape[1]
+
+        def flat(x):
+            return x.reshape((k * t,) + x.shape[2:])
+
+        def unflat(x):
+            return x.reshape((k, t) + x.shape[1:])
+
+        r1 = self.layer1_rn(n1)
+        r2 = self.layer2_rn(n2)
+        l4 = self.motion_1(w4)
+        r4 = self.layer4_rn(flat(l4))
+        l3 = self.motion_0(w3)
+        r3 = self.layer3_rn(flat(l3))
+
+        path4 = self.refinenet4(r4, out_hw=r3.shape[-3:-1])
+        if not skip_tmp_block:
+            path4 = flat(self.motion_2(unflat(path4)))
+        path3 = self.refinenet3(path4, r3, out_hw=r2.shape[-3:-1])
+        path3 = self.motion_3(unflat(path3))
+        path3 = path3[:, -1]  # newest frame per chunk position
+        path2 = self.refinenet2(path3, r2, out_hw=r1.shape[-3:-1])
+        path1 = self.refinenet1(path2, r1)
+        return self._output_head(path1, ph, pw)
 
     # -- streaming forward --------------------------------------------------
 

@@ -92,6 +92,39 @@ class VideoDepthAnything(nn.Module):
         return depth[..., 0], new_feats
 
 
+    def streaming_chunk_step(
+        self,
+        x: jnp.ndarray,
+        cache,
+        gather_idx: jnp.ndarray,
+        skip_tmp_block: bool = False,
+    ):
+        """K steady-state streaming frames ``(K, H, W, 3)`` in one program.
+
+        ``cache``: the 4 per-level feature caches ``(cache_len, ...)``;
+        ``gather_idx (K, T−1)`` indexes the *extended* buffer
+        ``concat(cache, new_features)`` — positions ≥ cache_len refer to
+        frames of this same chunk (the host resolves the sliding-slot
+        permutation, ``inference/streaming.py``).  Returns
+        ``(depth (K, H, W), new level features ×4)`` — the caller scatters
+        the new features into their freed cache slots.
+        """
+        k, h, w, _ = x.shape
+        ph, pw = self._check_hw(h, w)
+        feats = self.pretrained(x, self.cfg.intermediate_layer_idx)
+        n1, n2, n3, n4 = self.head.level_features(feats, ph, pw)
+        _, _, c3, c4 = cache
+        ext3 = jnp.concatenate([c3, n3], axis=0)
+        ext4 = jnp.concatenate([c4, n4], axis=0)
+        w3 = jnp.concatenate([ext3[gather_idx], n3[:, None]], axis=1)
+        w4 = jnp.concatenate([ext4[gather_idx], n4[:, None]], axis=1)
+        depth = self.head.streaming_chunk_forward(
+            n1, n2, w3, w4, ph, pw, skip_tmp_block
+        )
+        depth = depth.astype(x.dtype)
+        depth = bilinear_resize(depth, h, w)
+        return depth[..., 0], (n1, n2, n3, n4)
+
     # -- KV-cache streaming methods -----------------------------------------
 
     def streaming_kv_start(self, x: jnp.ndarray, skip_tmp_block: bool = False):
