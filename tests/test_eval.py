@@ -214,3 +214,61 @@ def test_tae_single_frame_and_varying_intrinsics():
     tae = temporal_alignment_error(depths, ks, extr)
     # constant-depth plane: wherever points land, depth agrees -> 0
     assert tae < 1e-6
+
+
+# -- DepthMap / Alignment framework (ref utils/align.py:17-190) --------------
+
+
+def test_depthmap_alignment_usage_example():
+    """The reference's usage_example semantics (utils/align.py:221-242):
+    ssi inverse prediction + metric GT → fitted scale/shift → metric
+    depth recovers the GT exactly for a noiseless affine relation."""
+    from video_depth_anything_tpu.evals.align import DepthMap, frame_align_lstsq
+
+    gt_m = np.arange(9, dtype=np.float64).reshape(3, 3) + 3.0
+    pred_ssi = (1.0 / gt_m) * 3.0 + 2.0
+    pred = DepthMap(pred_ssi, inverse=True)
+    gt = DepthMap(gt_m, inverse=False, scale=1.0, shift=0.0)
+
+    al = frame_align_lstsq(pred, gt)
+    assert al.inverse  # fit ran in the prediction's (inverse) space
+    assert np.isclose(al.scale, 3.0) and np.isclose(al.shift, 2.0)
+    metric = al.apply(pred).metric_depth()
+    np.testing.assert_allclose(metric, gt_m, rtol=1e-9)
+
+
+def test_depthmap_pure_scale_branch_and_invert_guard():
+    from video_depth_anything_tpu.evals.align import DepthMap, frame_align_lstsq
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(1.0, 5.0, (4, 4))
+    pred = DepthMap(2.5 * x, inverse=False, scale=None, shift=0.0)
+    gt = DepthMap(x, inverse=False, scale=1.0, shift=0.0)
+    al = frame_align_lstsq(pred, gt)
+    # both shifts known → scale-only fit, shift derived from the offsets
+    assert np.isclose(al.scale, 2.5) and np.isclose(al.shift, 0.0)
+
+    with pytest.raises(ValueError, match="shift"):
+        DepthMap(x, inverse=True, shift=1.0).invert()
+
+
+def test_depthmap_framework_matches_align_prediction_shortcut():
+    """The general framework reproduces the used eval path's fit exactly:
+    inverse ssi prediction vs metric GT with a sparse validity mask."""
+    from video_depth_anything_tpu.evals.align import (
+        DepthMap,
+        align_prediction,
+        frame_align_lstsq,
+    )
+
+    rng = np.random.default_rng(3)
+    gt = rng.uniform(0.5, 60.0, (12, 9))
+    valid = rng.random((12, 9)) > 0.3
+    pred = 0.7 / gt + 0.1 + rng.normal(0, 0.01, gt.shape)
+
+    _, scale, shift = align_prediction(pred, gt, valid, max_depth=80.0)
+    al = frame_align_lstsq(
+        DepthMap(pred, inverse=True),
+        DepthMap(gt, inverse=False, valid=valid, scale=1.0, shift=0.0),
+    )
+    assert np.isclose(al.scale, scale) and np.isclose(al.shift, shift)
