@@ -52,6 +52,10 @@ def main(argv=None) -> int:
                         "with --align_each_new_frame")
     p.add_argument("--align_each_new_frame", action="store_true",
                    help="streaming: per-frame scale/shift realignment (ref eval.py:39)")
+    p.add_argument("--stream_chunk", type=int, default=8,
+                   help="steady-state streaming frames batched per device "
+                        "dispatch (1 disables chunking; ignored with "
+                        "--align_each_new_frame)")
     p.add_argument("--skip_tmp_block", action="store_true",
                    help="skip the third motion module (ref eval.py:44)")
     p.add_argument("--kv_cache", action="store_true",
@@ -127,6 +131,7 @@ def main(argv=None) -> int:
                 inference_length=args.inference_length,
                 keyframe_list=tuple(args.keyframe_list),
                 align_each_new_frame=args.align_each_new_frame,
+                chunk_size=args.stream_chunk,
             ),
             args.skip_tmp_block,
         )

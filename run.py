@@ -46,6 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "--align_each_new_frame (unfilled-cache crash, also "
                         "latent in the reference)")
     p.add_argument("--align_each_new_frame", action="store_true")
+    p.add_argument("--stream_chunk", type=int, default=8,
+                   help="steady-state streaming frames batched per device "
+                        "dispatch (1 disables chunking; ignored with "
+                        "--align_each_new_frame)")
+    p.add_argument("--window_batch", type=int, default=None,
+                   help="sliding windows batched per device program "
+                        "(windows are independent; default: 4 for "
+                        "vits/vitb, 1 for vitl)")
     p.add_argument("--kv_cache", action="store_true",
                    help="with --process_single_image: KV-cache streaming "
                         "(O(1) work per frame; motion modules attend the new "
@@ -161,11 +169,13 @@ def main(argv=None) -> int:
             inference_length=args.inference_length,
             keyframe_list=tuple(args.keyframe_list),
             align_each_new_frame=args.align_each_new_frame,
+            chunk_size=args.stream_chunk,
         )
         depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
     else:
         pipe = VideoDepthPipeline(
-            model, input_size=args.input_size, shape_bucket=args.shape_bucket
+            model, input_size=args.input_size, shape_bucket=args.shape_bucket,
+            window_batch=args.window_batch,
         )
         if args.data_parallel:
             from video_depth_anything_tpu.parallel.data_parallel import (

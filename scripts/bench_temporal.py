@@ -113,6 +113,62 @@ def main(argv=None):
             dt = amortized(lambda: core(q, k, v), force, args.iters)
             emit(f"{name}/einsum_core", dt)
 
+        if "attnpath" in variants:
+            # Whole attention path (qkv proj → core → out proj) in the two
+            # candidate layouts.  "natural": projections in (B,T,S,C), core
+            # via the bshqk einsum (XLA inserts the (b,s,h,t,d) relayouts of
+            # four ~90 MB tensors itself).  "transposed": ONE explicit
+            # transpose to (B,S,T,C), everything layout-local, ONE transpose
+            # back — tests whether 2 explicit relayouts beat XLA's implicit
+            # ones.
+            wq = jnp.asarray(rng.randn(c, c) * 0.02, dtype=jnp.bfloat16)
+            wk = jnp.asarray(rng.randn(c, c) * 0.02, dtype=jnp.bfloat16)
+            wv = jnp.asarray(rng.randn(c, c) * 0.02, dtype=jnp.bfloat16)
+            wo = jnp.asarray(rng.randn(c, c) * 0.02, dtype=jnp.bfloat16)
+
+            @jax.jit
+            def path_nat(x, wq, wk, wv, wo):
+                b, t, ss, cc = x.shape
+                d_ = cc // HEADS
+                q5 = (x @ wq).reshape(b, t, ss, HEADS, d_)
+                k5 = (x @ wk).reshape(b, t, ss, HEADS, d_)
+                v5 = (x @ wv).reshape(b, t, ss, HEADS, d_)
+                scores = jnp.einsum(
+                    "bqshd,bkshd->bshqk", q5, k5,
+                    preferred_element_type=jnp.float32,
+                ) * jnp.float32(scale)
+                probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+                out = jnp.einsum(
+                    "bshqk,bkshd->bqshd", probs, v5,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+                return out.reshape(b, t, ss, cc) @ wo
+
+            @jax.jit
+            def path_tr(x, wq, wk, wv, wo):
+                b, t, ss, cc = x.shape
+                d_ = cc // HEADS
+                xt = x.transpose(0, 2, 1, 3)  # (b, s, t, c) — one relayout
+                q5 = (xt @ wq).reshape(b, ss, t, HEADS, d_)
+                k5 = (xt @ wk).reshape(b, ss, t, HEADS, d_)
+                v5 = (xt @ wv).reshape(b, ss, t, HEADS, d_)
+                scores = jnp.einsum(
+                    "bsqhd,bskhd->bshqk", q5, k5,
+                    preferred_element_type=jnp.float32,
+                ) * jnp.float32(scale)
+                probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+                out = jnp.einsum(
+                    "bshqk,bskhd->bsqhd", probs, v5,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+                out = out.reshape(b, ss, t, cc) @ wo
+                return out.transpose(0, 2, 1, 3)
+
+            dt = amortized(lambda: path_nat(q, wq, wk, wv, wo), force, args.iters)
+            emit(f"{name}/attnpath_natural", dt)
+            dt = amortized(lambda: path_tr(q, wq, wk, wv, wo), force, args.iters)
+            emit(f"{name}/attnpath_transposed", dt)
+
         if "headstack" in variants:
             # Head-stacked attention: embed the head structure into masked
             # operands so the score GEMM contracts over full C (not d) and

@@ -108,3 +108,22 @@ def test_pipeline_with_bucketing_runs(rng):
     pipe = VideoDepthPipeline(model, input_size=56, shape_bucket=28)
     depth, _ = pipe.infer_video_depth(video)
     assert depth.shape == video.shape[:3]
+
+
+def test_window_batching_matches_serial():
+    """``window_batch`` processes independent index-resolved windows in one
+    program — outputs must equal the serial loop's exactly, including the
+    repeated-last-window padding of the ragged final chunk."""
+    import jax
+
+    model = VDAModel("vits", dtype=jnp.float32)
+    model.init_params(jax.random.PRNGKey(5))
+    video = _synthetic_video(n=70, h=64, w=80, seed=9)
+
+    serial = VideoDepthPipeline(model, input_size=56, window_batch=1)
+    want, _ = serial.infer_video_depth(video)
+    batched = VideoDepthPipeline(model, input_size=56, window_batch=3)
+    got, _ = batched.infer_video_depth(video)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -107,12 +107,26 @@ class VideoDepthPipeline:
 
     ``shape_bucket``: snap the model resolution to multiples of this many
     pixels (must be a multiple of 14) to bound recompiles across videos of
-    different aspect ratios; ``None`` keeps exact reference sizing."""
+    different aspect ratios; ``None`` keeps exact reference sizing.
 
-    def __init__(self, model, input_size: int = 518, shape_bucket=None):
+    ``window_batch``: windows processed per device program.  Window inputs
+    are index-resolved and independent (module docstring), so batching them
+    is mathematically identical to the serial loop; on the small-channel
+    encoders it amortizes the per-kernel-call fixed costs that dominate at
+    batch 1 (v5e measured, docs/PERFORMANCE.md: vits 315 → 399 f/s at
+    B=4, while compute-saturated vitl gains nothing at B=2).  ``None``
+    picks 4 for vits/vitb-class heads and 1 for vitl+."""
+
+    def __init__(
+        self, model, input_size: int = 518, shape_bucket=None,
+        window_batch: Optional[int] = None,
+    ):
         self.model = model
         self.input_size = input_size
         self.shape_bucket = shape_bucket
+        if window_batch is None:
+            window_batch = 4 if model.cfg.features <= 128 else 1
+        self.window_batch = max(1, int(window_batch))
 
     def _target_hw(self, fh: int, fw: int):
         if self.shape_bucket is None:
@@ -131,10 +145,10 @@ class VideoDepthPipeline:
         def fwd(params, x, out_h, out_w, skip_tmp_block=False):
             depth = module.apply(
                 {"params": params}, x, skip_tmp_block=skip_tmp_block
-            )  # (1, T, h, w)
+            )  # (B, T, h, w)
             depth = depth[..., None].astype(jnp.float32)
             depth = bilinear_resize(depth, out_h, out_w)[..., 0]
-            return depth[0]  # (T, out_h, out_w) fp32
+            return depth  # (B, T, out_h, out_w) fp32
 
         return fwd
 
@@ -204,34 +218,51 @@ class VideoDepthPipeline:
             frames, pad_len, self._target_hw(fh, fw)
         )
 
-        it = range(idx.shape[0])
+        # Batch `window_batch` windows per device program (they are
+        # independent model calls — see module docstring); the last chunk
+        # pads by repeating the final window so one compiled program covers
+        # every chunk, and the padded outputs are dropped.
+        n_win = idx.shape[0]
+        wb = self.window_batch
+        idxp = idx
+        if n_win % wb:
+            idxp = np.concatenate(
+                [idx, np.repeat(idx[-1:], (-n_win) % wb, axis=0)], axis=0
+            )
+
+        it = range(0, len(idxp), wb)
         if progress:
             from tqdm import tqdm
 
-            it = tqdm(it, desc="windows")
+            it = tqdm(it, desc=f"windows (x{wb})")
 
-        # one-window lag between dispatch and D2H so the (large) depth
-        # transfer of window w overlaps the compute of window w+1 — the
+        # one-chunk lag between dispatch and D2H so the (large) depth
+        # transfer of chunk c overlaps the compute of chunk c+1 — the
         # device executes in order, transfers run alongside.  The lag keeps
-        # one extra (T, fh, fw) fp32 buffer alive on-device, so it is
-        # disabled for very large frames (≥512 MB per window) to avoid
+        # one extra (wb, T, fh, fw) fp32 buffer alive on-device, so it is
+        # disabled for very large frames (≥512 MB per chunk) to avoid
         # raising peak HBM past what the synchronous path needed.
-        overlap_d2h = INFER_LEN * fh * fw * 4 < 512 * 2**20
+        overlap_d2h = wb * INFER_LEN * fh * fw * 4 < 512 * 2**20
         window_depths: List[np.ndarray] = []
+
+        def drain(d):
+            window_depths.extend(np.asarray(d))
+
         pending = None
-        for w in it:
-            wait_until(int(idx[w].max()) + 1)
-            x = jnp.asarray(pre[idx[w]][None], dtype=self.model.dtype)
+        for s in it:
+            chunk = idxp[s : s + wb]
+            wait_until(int(chunk.max()) + 1)
+            x = jnp.asarray(pre[chunk], dtype=self.model.dtype)
             d = self._window_fn(
                 self.model.params, x, fh, fw, skip_tmp_block=skip_tmp_block
             )
             if not overlap_d2h:
-                window_depths.append(np.asarray(d))
+                drain(d)
                 continue
             if pending is not None:
-                window_depths.append(np.asarray(pending))
+                drain(pending)
             pending = d
         if pending is not None:
-            window_depths.append(np.asarray(pending))
+            drain(pending)
 
-        return stitch_windows(window_depths, org_len), target_fps
+        return stitch_windows(window_depths[:n_win], org_len), target_fps

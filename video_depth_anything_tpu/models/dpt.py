@@ -78,14 +78,16 @@ class FeatureFusionBlock(nn.Module):
         x = ResidualConvUnit(self.features, name="rcu2")(x)
         if out_hw is None:
             out_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
-        # out_conv (1×1) BEFORE the upsample — the reference applies it after
-        # (util/blocks.py:156-161), but bilinear interpolation is linear and
-        # its align_corners=True weights sum to 1 per output pixel, so the
-        # conv (bias included) commutes with the resize exactly in real
-        # arithmetic.  Running the GEMM at the pre-resize resolution saves
-        # ~4× its FLOPs and a full-size HBM round trip per fusion block.
-        x = Conv2d(self.features, 1, name="out_conv")(x)
-        return bilinear_resize(x, out_hw[0], out_hw[1])
+        # Measured-and-rejected (v5e, docs/PERFORMANCE.md): commuting the
+        # 1×1 out_conv BEFORE the upsample (exact — bilinear align_corners
+        # rows sum to 1) to run its GEMM at the low resolution, paired with
+        # a fused [resize→conv] Pallas kernel (ops/pallas_resize_conv.py).
+        # Both LOSE: XLA already folds the post-resize 1×1 into the resize
+        # GEMM chain (vits window 97.2 → 101.6 ms with the commute; the
+        # fused kernel 21.6 vs 18.4 ms XLA standalone).  Reference order
+        # stays (util/blocks.py:156-161).
+        x = bilinear_resize(x, out_hw[0], out_hw[1])
+        return Conv2d(self.features, 1, name="out_conv")(x)
 
 
 class DPTHeadTemporal(nn.Module):
@@ -190,33 +192,32 @@ class DPTHeadTemporal(nn.Module):
             return "post"
         return None
 
-    def _try_fused_tail(
-        self, path1: jnp.ndarray, ph: int, pw: int
-    ) -> Optional[jnp.ndarray]:
-        """Run [resize → output_conv2] as the fused Pallas tail kernel
-        (ops/pallas_output_stack.py) when it covers the shape: one pass in
-        VMEM instead of HBM-materialized resize GEMMs + convs.  output_conv1
-        still runs in the packed layout where that wins (the fused kernel
-        consumes the unpacked 32/64/128-channel map).  Returns ``None``
-        (→ XLA paths) off-TPU, under fp32 islands, or during init (the
-        conv2 parameters are created by the XLA path)."""
+    def _head_kernels_ok(self, x: jnp.ndarray) -> bool:
+        """Common gate for the fused head kernels (mid + tail): bf16 path,
+        no fp32 island, on TPU, not initializing (the XLA fallback paths
+        create the conv parameters), and no packed small-channel plan —
+        vits/vitb keep the 2×2 space-to-depth XLA output stack, which
+        measures equal to the frame-packed fused kernel end-to-end at ~15×
+        cheaper compile (docs/PERFORMANCE.md)."""
         if not self.cfg.fused_output_tail or self.cfg.fp32_head_island:
-            return None
-        if self.is_initializing() or path1.dtype != jnp.bfloat16:
-            return None
+            return False
+        if self.is_initializing() or x.dtype != jnp.bfloat16:
+            return False
+        if self._packed_plan() is not None:
+            return False
         from video_depth_anything_tpu.ops.flash_attention import _on_tpu
 
-        if not _on_tpu():
+        return _on_tpu()
+
+    def _try_fused_tail(
+        self, out: jnp.ndarray, ph: int, pw: int
+    ) -> Optional[jnp.ndarray]:
+        """Run [resize → output_conv2] on the post-``output_conv1`` map as
+        the fused Pallas tail kernel (ops/pallas_output_stack.py) when it
+        covers the shape: one pass in VMEM instead of HBM-materialized
+        resize GEMMs + convs.  Returns ``None`` → XLA paths."""
+        if not self._head_kernels_ok(out):
             return None
-        if self._packed_plan() is not None:
-            # Small-channel heads (vits/vitb): the 2×2 space-to-depth XLA
-            # output stack and the frame-packed fused kernel measure equal
-            # end-to-end (vits window 97.5 vs 97.2 ms, re-measured after
-            # the location-packed temporal kernel landed); the XLA stack
-            # stays default for its ~15× cheaper compile (13 s vs 208 s for
-            # the kernel at c=32; docs/PERFORMANCE.md).
-            return None
-        out = self.output_conv1(path1)
         p = self.variables["params"]
         try:
             c20, c22 = p["output_conv2_0"], p["output_conv2_2"]
@@ -232,9 +233,25 @@ class DPTHeadTemporal(nn.Module):
         )
 
     def _output_head(self, path1: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
-        fused = self._try_fused_tail(path1, ph, pw)
+        out = self._conv1_and_packed(path1, ph, pw)
+        if out.shape[-1] == 1:  # packed path returned finished depth
+            return out
+        fused = self._try_fused_tail(out, ph, pw)
         if fused is not None:
             return fused
+        out = bilinear_resize(out, ph * 14, pw * 14)
+        if self.cfg.fp32_head_island:
+            # fp32 island (ref dpt_temporal.py:95-97) — see
+            # ModelConfig.fp32_head_island for why bf16 skips it on TPU.
+            out = out.astype(jnp.float32)
+        out = self.output_conv2_0(out)
+        out = nn.relu(out)
+        out = self.output_conv2_2(out)
+        return nn.relu(out)
+
+    def _conv1_and_packed(
+        self, path1: jnp.ndarray, ph: int, pw: int
+    ) -> jnp.ndarray:
         plan = self._packed_plan()
         if plan is not None and path1.shape[-3] % 2 == 0 and path1.shape[-2] % 2 == 0:
             if plan == "pre":
@@ -250,16 +267,7 @@ class DPTHeadTemporal(nn.Module):
             out = nn.relu(out)
             # unpack the (N, 7ph, 7pw, 4) depth map to (N, 14ph, 14pw, 1)
             return _depth_to_space(out)
-        out = self.output_conv1(path1)
-        out = bilinear_resize(out, ph * 14, pw * 14)
-        if self.cfg.fp32_head_island:
-            # fp32 island (ref dpt_temporal.py:95-97) — see
-            # ModelConfig.fp32_head_island for why bf16 skips it on TPU.
-            out = out.astype(jnp.float32)
-        out = self.output_conv2_0(out)
-        out = nn.relu(out)
-        out = self.output_conv2_2(out)
-        return nn.relu(out)
+        return self.output_conv1(path1)
 
     # -- batch window forward ----------------------------------------------
 

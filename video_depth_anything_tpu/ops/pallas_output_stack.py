@@ -263,7 +263,13 @@ def _tail_kernel(
     jax.lax.fori_loop(0, u_rows // rg, hrow, 0)
 
     # -- 2. vertical resize into the conv tile (halo rows zero) -------------
-    def vrow(i, carry):
+    # Statically unrolled (NOT a fori_loop): the loop body is a handful of
+    # small ops per row and the sequential fori_loop serializes them; with
+    # the rows unrolled Mosaic can overlap the SMEM index loads, the VMEM
+    # row reads, and the lerp chains across iterations.  (A banded vertical
+    # GEMM would be better still, but rank-3 dot_general operands are
+    # rejected by this toolchain's compile helper.)
+    for i in range(r_blk + 2):
         o = r0 - 1 + i
         oc = jnp.clip(o, 0, out_h - 1)
         a = h2_ref[pl.ds(lo_ref[oc] - us, 1)]
@@ -272,9 +278,6 @@ def _tail_kernel(
         valid = jnp.logical_and(o >= 0, o < out_h)
         rowv = jnp.where(valid, rowv, 0.0)
         r2_ref[pl.ds(i, 1)] = rowv.astype(r2_ref.dtype)
-        return carry
-
-    jax.lax.fori_loop(0, r_blk + 2, vrow, 0)
 
     # -- 3+4. conv3×3 → ReLU → conv1×1 → ReLU, in row sub-blocks ------------
     # Sub-blocking bounds the fp32 (·, 32→128-lane-padded) conv temporaries;
