@@ -93,21 +93,36 @@ def bench_streaming(encoder: str = "vits", size: int = 518,
     params = model.params
 
     xs = jax.device_put(
-        jnp.asarray(np.random.randn(chunk, size, size, 3), dtype=model.dtype)
+        jnp.asarray(np.random.randn(max(chunk, 1), size, size, 3),
+                    dtype=model.dtype)
     )
     feats = pipe._encode_fn(params, xs[:1])
     cache = tuple(
         jnp.zeros((pipe.cache_len,) + f.shape[1:], dtype=f.dtype)
         for f in feats
     )
-    gather, slots, _ = pipe._steady_indices(list(range(pipe.cache_len)), chunk)
-    gather = jnp.asarray(gather)
-    slots = jnp.asarray(slots)
-
-    def step(cache):
-        return pipe._chunk_fn(
-            params, xs, cache, gather, slots, out_hw=(size, size)
+    if chunk > 1:
+        gather, slots, _ = pipe._steady_indices(
+            list(range(pipe.cache_len)), chunk
         )
+        gather = jnp.asarray(gather)
+        slots = jnp.asarray(slots)
+
+        def step(cache):
+            return pipe._chunk_fn(
+                params, xs, cache, gather, slots, out_hw=(size, size)
+            )
+    else:
+        use_idx = jnp.asarray(
+            np.asarray(pipe.use_feature_idx[-1], dtype=np.int64)
+        )
+        slot = jnp.int32(pipe.cache_len - 1)
+
+        def step(cache):
+            return pipe._step_fn(
+                params, xs, cache, use_idx, slot, pred_idx=None,
+                out_hw=(size, size),
+            )
 
     t0 = time.time()
     depth, cache = step(cache)
@@ -119,7 +134,7 @@ def bench_streaming(encoder: str = "vits", size: int = 518,
     for _ in range(iters):
         depth, cache = step(cache)
     float(jnp.sum(depth[0, :2, :2]))
-    med = (time.time() - t0) / iters / chunk
+    med = (time.time() - t0) / iters / max(chunk, 1)
     return {
         "encoder": encoder,
         "size": size,
@@ -242,7 +257,8 @@ def main() -> int:
         for key, fn in (
             ("vits_wb4", lambda: bench_window("vits", batch=4)),
             ("vitl", lambda: bench_window("vitl")),
-            ("streaming_vits", lambda: bench_streaming("vits")),
+            ("streaming_vits", lambda: bench_streaming("vits", chunk=1)),
+            ("streaming_vits_chunked", lambda: bench_streaming("vits")),
             ("kv_streaming_vits", lambda: bench_kv_streaming("vits")),
             ("dp_vits", lambda: bench_data_parallel("vits")),
         ):

@@ -292,6 +292,14 @@ def main(argv=None):
             app = jax.jit(lambda p, xx: mod.apply(p, xx))
             dt = amortized(lambda: app(params, xm), force, args.iters)
             emit(f"{name}/module", dt)
+            # attn_impl="xla": skips the Pallas dispatch so XLA sees the
+            # whole proj→attend graph from x and can pick fused layouts
+            # for the projection outputs (the kernel forces natural-layout
+            # q/k/v materialization at its boundary).
+            modx = TemporalModule(cfg, c, "xla")
+            appx = jax.jit(lambda p, xx: modx.apply(p, xx))
+            dt = amortized(lambda: appx(params, xm), force, args.iters)
+            emit(f"{name}/module_xla", dt)
 
         if "pallas" in variants:
             try:

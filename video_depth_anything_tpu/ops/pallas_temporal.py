@@ -296,7 +296,14 @@ def try_temporal_attention(q, k, v, *, heads: int, scale: float, auto: bool = Fa
         return None
     if pack == 1 and (c % _LANES != 0 or head_dim not in (32, 64, 128)):
         return None
-    if auto and head_dim > 64:
+    if auto and head_dim > 24:
+        # Round-2 module-level A/B (scripts/bench_temporal.py --variants
+        # module, docs/PERFORMANCE.md): when XLA sees the whole
+        # proj→attend graph it beats the kernel for every head_dim ≥ 32
+        # shape (vitl m2/m3 256@d32: 4.96/22.2 vs 6.04/24.1 ms; vits m1
+        # 384@d48: 2.48 vs 3.32) — the kernel's elementwise formulation
+        # only pays off when tiny heads would leave XLA's score GEMMs
+        # lane-starved (vits m0/m2/m3, d ≤ 24: up to 18.9 → 6.8 ms).
         return None
     try:
         if jax.devices()[0].platform != "tpu":
