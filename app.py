@@ -1,10 +1,16 @@
 #!/usr/bin/env python
-"""Gradio web demo (capability of reference ``app.py:39-152``).
+"""Web demo (capability of reference ``app.py:39-152``).
 
 Wraps the sliding-window pipeline behind a browser UI with the same
-controls (max length, target FPS, max resolution).  gradio is not part of
-this image's baked environment; the module degrades to a clear message and
-the processing function stays importable/testable without it.
+controls (max length, target FPS, max resolution).  Two front ends share
+``process_video``:
+
+* ``construct_demo`` — the gradio UI matching the reference's, when gradio
+  is installed;
+* ``serve`` — a dependency-free stdlib ``http.server`` fallback (upload
+  form → processed input + depth videos), used automatically when gradio
+  is absent (it is not in this image) so the demo surface stays drivable
+  end-to-end.
 """
 
 from __future__ import annotations
@@ -24,6 +30,7 @@ def process_video(
     checkpoint: str | None = None,
     random_init: bool = False,
     output_dir: str | None = None,
+    input_size: int | None = None,
 ):
     """Video file → (input preview path, depth visualization path)."""
     import jax
@@ -46,7 +53,7 @@ def process_video(
         )
 
     frames, fps = read_video_frames(video_path, max_len, target_fps, max_res)
-    pipe = VideoDepthPipeline(model)
+    pipe = VideoDepthPipeline(model, input_size=input_size or 518)
     depths, fps = pipe.infer_video_depth(frames, fps, progress=True)
 
     out_dir = output_dir or tempfile.mkdtemp(prefix="vda_demo_")
@@ -89,18 +96,149 @@ def construct_demo(checkpoint: str | None = None):
     return demo
 
 
+# -- stdlib fallback UI ------------------------------------------------------
+
+_FORM_HTML = """<!doctype html>
+<html><head><title>Video Depth Anything — TPU</title></head>
+<body style="font-family:sans-serif;max-width:640px;margin:2em auto">
+<h1>Video Depth Anything — TPU-native</h1>
+<form method="post" action="/process" enctype="multipart/form-data">
+  <p><input type="file" name="video" accept="video/*" required></p>
+  <p>Encoder:
+    <select name="encoder">
+      <option value="vits" selected>vits</option>
+      <option value="vitl">vitl</option>
+    </select>
+    Max frames: <input type="number" name="max_len" value="100" size="5">
+    Target FPS: <input type="number" name="target_fps" value="15" size="4">
+    Max res: <input type="number" name="max_res" value="1280" size="5">
+    Input size: <input type="number" name="input_size" value="518" size="5">
+  </p>
+  <p><button type="submit">Generate depth</button></p>
+</form></body></html>"""
+
+_RESULT_HTML = """<!doctype html>
+<html><head><title>Depth result</title></head>
+<body style="font-family:sans-serif;max-width:900px;margin:2em auto">
+<h1>Result</h1>
+<p><a href="/">← process another video</a></p>
+<div style="display:flex;gap:1em">
+  <div><h3>Input</h3><video controls width="420" src="/files/{inp}"></video></div>
+  <div><h3>Depth</h3><video controls width="420" src="/files/{dep}"></video></div>
+</div></body></html>"""
+
+
+def serve(
+    host: str = "127.0.0.1",
+    port: int = 7860,
+    checkpoint: str | None = None,
+    input_size: int | None = None,
+):
+    """Dependency-free demo server (stdlib only): GET / serves the upload
+    form, POST /process runs ``process_video``, GET /files/* serves the
+    rendered videos.  Returns the ``ThreadingHTTPServer`` (caller invokes
+    ``serve_forever``, tests drive it from a thread)."""
+    import email.parser
+    import email.policy
+    import http.server
+    import urllib.parse
+
+    out_root = tempfile.mkdtemp(prefix="vda_serve_")
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path in ("/", "/index.html"):
+                self._send(200, _FORM_HTML.encode(), "text/html; charset=utf-8")
+                return
+            if path.startswith("/files/"):
+                name = os.path.basename(path[len("/files/"):])
+                full = os.path.join(out_root, name)
+                if os.path.isfile(full):
+                    with open(full, "rb") as f:
+                        self._send(200, f.read(), "video/mp4")
+                    return
+            self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if urllib.parse.urlparse(self.path).path != "/process":
+                self._send(404, b"not found", "text/plain")
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            raw = self.rfile.read(length)
+            msg = email.parser.BytesParser(policy=email.policy.default).parsebytes(
+                b"Content-Type: " + self.headers["Content-Type"].encode()
+                + b"\r\n\r\n" + raw
+            )
+            fields: dict = {}
+            video_bytes = None
+            video_name = "upload.mp4"
+            for part in msg.iter_parts():
+                name = part.get_param("name", header="content-disposition")
+                if name == "video":
+                    video_bytes = part.get_payload(decode=True)
+                    video_name = part.get_filename() or video_name
+                else:
+                    fields[name] = part.get_content().strip()
+            if not video_bytes:
+                self._send(400, b"no video uploaded", "text/plain")
+                return
+            src = os.path.join(out_root, os.path.basename(video_name))
+            with open(src, "wb") as f:
+                f.write(video_bytes)
+            try:
+                in_path, depth_path = process_video(
+                    src,
+                    encoder=fields.get("encoder", "vits"),
+                    max_len=int(fields.get("max_len", -1) or -1),
+                    target_fps=int(fields.get("target_fps", -1) or -1),
+                    max_res=int(fields.get("max_res", 1280) or 1280),
+                    checkpoint=checkpoint,
+                    random_init=checkpoint is None,
+                    output_dir=out_root,
+                    input_size=int(fields.get("input_size", 0) or 0) or input_size,
+                )
+            except Exception as e:  # noqa: BLE001 - surfaced to the browser
+                self._send(500, f"processing failed: {e}".encode(), "text/plain")
+                return
+            body = _RESULT_HTML.format(
+                inp=os.path.basename(in_path), dep=os.path.basename(depth_path)
+            ).encode()
+            self._send(200, body, "text/html; charset=utf-8")
+
+    return http.server.ThreadingHTTPServer((host, port), Handler)
+
+
 if __name__ == "__main__":
-    try:
-        import gradio  # noqa: F401
-    except ImportError:
-        raise SystemExit(
-            "gradio is not installed in this environment; use run.py for CLI "
-            "inference or `from app import process_video` programmatically"
-        )
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--input_size", type=int, default=None,
+                    help="model resolution override (stdlib UI default field)")
+    ap.add_argument("--plain", action="store_true",
+                    help="force the stdlib server even if gradio is installed")
     a = ap.parse_args()
-    construct_demo(a.checkpoint).queue().launch(server_port=a.port, share=False)
+    try:
+        if a.plain:
+            raise ImportError
+        import gradio  # noqa: F401
+
+        construct_demo(a.checkpoint).queue().launch(
+            server_port=a.port, share=False
+        )
+    except ImportError:
+        srv = serve("0.0.0.0", a.port, a.checkpoint, a.input_size)
+        print(f"serving (stdlib UI) on http://0.0.0.0:{a.port}", flush=True)
+        srv.serve_forever()
