@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from video_depth_anything_tpu.utils.device import start_host_transfer
 from video_depth_anything_tpu.utils.transform import preprocess_frames
 
 
@@ -136,7 +137,8 @@ class KVStreamingPipeline:
                 out_hw=(fh, fw),
             )
             # one-frame lag: this frame's D2H overlaps the next dispatch
-            pending.append(depth)
+            # (transfer starts NOW, not at the np.asarray drain)
+            pending.append(start_host_transfer(depth))
             if len(pending) > 1:
                 depth_list.append(
                     np.asarray(pending.pop(0), dtype=np.float32)[0]

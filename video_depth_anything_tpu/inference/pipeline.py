@@ -35,6 +35,7 @@ from video_depth_anything_tpu.ops.scale_shift import (
     compute_scale_and_shift,
     interpolation_weights,
 )
+from video_depth_anything_tpu.utils.device import start_host_transfer
 from video_depth_anything_tpu.utils.transform import preprocess_frames
 
 
@@ -261,7 +262,7 @@ class VideoDepthPipeline:
                 continue
             if pending is not None:
                 drain(pending)
-            pending = d
+            pending = start_host_transfer(d)
         if pending is not None:
             drain(pending)
 

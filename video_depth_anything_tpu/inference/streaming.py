@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_depth_anything_tpu.ops.scale_shift import compute_scale_and_shift
+from video_depth_anything_tpu.utils.device import start_host_transfer
 from video_depth_anything_tpu.utils.transform import preprocess_frames
 
 
@@ -307,7 +308,7 @@ class StreamingDepthPipeline:
                     skip_tmp_block=skip_tmp_block,
                     out_hw=(fh, fw),
                 )
-                pending.append(depth)
+                pending.append(start_host_transfer(depth))
                 if len(pending) > 1:
                     d = np.asarray(pending.pop(0), dtype=np.float32)
                     depth_list.extend(d[j] for j in range(d.shape[0]))
@@ -404,7 +405,7 @@ class StreamingDepthPipeline:
             else:
                 # keep the result on device for one frame so its D2H copy
                 # overlaps the next step's compute
-                pending.append(depth)
+                pending.append(start_host_transfer(depth))
                 if len(pending) > 1:
                     d = np.asarray(pending.pop(0), dtype=np.float32)
                     depth_list.extend(d[k] for k in range(d.shape[0]))
