@@ -229,6 +229,9 @@ if __name__ == "__main__":
                     help="model resolution override (stdlib UI default field)")
     ap.add_argument("--plain", action="store_true",
                     help="force the stdlib server even if gradio is installed")
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (default localhost; pass 0.0.0.0 to "
+                         "expose the demo to the network explicitly)")
     a = ap.parse_args()
     try:
         if a.plain:
@@ -239,6 +242,6 @@ if __name__ == "__main__":
             server_port=a.port, share=False
         )
     except ImportError:
-        srv = serve("0.0.0.0", a.port, a.checkpoint, a.input_size)
-        print(f"serving (stdlib UI) on http://0.0.0.0:{a.port}", flush=True)
+        srv = serve(a.host, a.port, a.checkpoint, a.input_size)
+        print(f"serving (stdlib UI) on http://{a.host}:{a.port}", flush=True)
         srv.serve_forever()

@@ -54,7 +54,8 @@ def main(argv=None) -> int:
                    help="streaming: per-frame scale/shift realignment (ref eval.py:39)")
     p.add_argument("--stream_chunk", type=int, default=8,
                    help="steady-state streaming frames batched per device "
-                        "dispatch (1 disables chunking; ignored with "
+                        "dispatch (1 disables chunking; clamped to "
+                        "inference_length+max(keyframes)-3; ignored with "
                         "--align_each_new_frame)")
     p.add_argument("--skip_tmp_block", action="store_true",
                    help="skip the third motion module (ref eval.py:44)")

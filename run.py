@@ -48,7 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--align_each_new_frame", action="store_true")
     p.add_argument("--stream_chunk", type=int, default=8,
                    help="steady-state streaming frames batched per device "
-                        "dispatch (1 disables chunking; ignored with "
+                        "dispatch (1 disables chunking; clamped to "
+                        "inference_length+max(keyframes)-3; ignored with "
                         "--align_each_new_frame)")
     p.add_argument("--window_batch", type=int, default=None,
                    help="sliding windows batched per device program "

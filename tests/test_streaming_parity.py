@@ -114,3 +114,20 @@ def test_chunked_steady_state_matches_per_frame(rng):
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_chunk_clamped_to_unique_write_slots():
+    """chunk_size > cache_len−2 must be clamped: past that bound the freed
+    physical slots repeat within one chunk and ``cache.at[slots].set`` with
+    duplicate indices has an unspecified winner in XLA (silent feature-cache
+    corruption).  Pipeline construction clamps; the steady index tables stay
+    duplicate-free at the clamped size."""
+    model = VDAModel("vits", dtype=jnp.float32)
+    # L=6, keyframes=(0,2) → cache_len = 6+2−1 = 7 → max safe chunk 5
+    pipe = StreamingDepthPipeline(
+        model, inference_length=6, keyframe_list=(0, 2), chunk_size=8
+    )
+    assert pipe.chunk == pipe.cache_len - 2 == 5
+    phys = list(range(pipe.cache_len))
+    _, slots, _ = pipe._steady_indices(phys, pipe.chunk)
+    assert len(set(slots.tolist())) == len(slots)

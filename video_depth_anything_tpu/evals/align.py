@@ -95,7 +95,12 @@ class DepthMap:
         for shift-free maps — ``1/(s·x)`` is a pure rescale, but a shifted
         map has no reciprocal in the other parameterization
         (ref utils/align.py:72-89)."""
-        if self.shift not in (None, 0, 0.0):
+        if self.shift not in (0, 0.0):
+            # shift=None also raises (matching the reference, which refuses
+            # parameterization conversion unless the shift is known to be
+            # exactly 0): 1/(s·x+t) is not affine in 1/x, so inverting a
+            # map whose shift is unknown would be silently wrong whenever
+            # the true shift is nonzero.
             raise ValueError(
                 f"cannot invert a depth map with shift={self.shift}"
             )
@@ -115,7 +120,7 @@ class DepthMap:
             valid=valid,
             value_range=rng,
             scale=None if self.scale is None else 1.0 / self.scale,
-            shift=None if self.shift is None else 0.0,
+            shift=0.0,
         )
 
     def metric_depth(self) -> np.ndarray:

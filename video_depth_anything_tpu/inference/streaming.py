@@ -103,7 +103,14 @@ class StreamingDepthPipeline:
         # holds *pre-motion* per-frame features, so consecutive steps have no
         # sequential dependency and batch exactly.  Alignment mode needs each
         # frame's depth on the host before the next step → always per-frame.
-        self.chunk = max(1, int(chunk_size)) if not align_each_new_frame else 1
+        # Chunk bound: ``_steady_indices`` frees physical slot ``phys[1]``
+        # once per frame; after ``cache_len − 2`` frames the freed slots
+        # start repeating, and ``cache.at[write_slots].set`` with duplicate
+        # indices has an unspecified winner in XLA (silent cache
+        # corruption).  Clamp instead of erroring — the chunking is purely
+        # a dispatch-batching detail with identical math at any size.
+        chunk = max(1, int(chunk_size)) if not align_each_new_frame else 1
+        self.chunk = min(chunk, self.cache_len - 2)
         (self.static_kf, self.use_feature_idx, self.align_idx) = streaming_schedule(
             inference_length, keyframe_list
         )

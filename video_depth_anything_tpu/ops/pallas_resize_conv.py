@@ -204,6 +204,11 @@ def _row_block(out_h: int, out_w: int, in_h: int, w: int, c: int, cout: int):
             + 2 * (r_blk + 2) * ws * c * 2
             + r_sub * ws * (c * 2 + max(cout, 128) * 4) * 3
         )
+        if u4 > in_h:
+            # row-group rounding asks for more input rows than exist (tiny
+            # inputs, e.g. h=2 with rg=4): the block start clamp
+            # ``min(us, h − u4)`` would go negative → negative-offset DMA
+            continue
         if est <= _VMEM_BUDGET:
             return r_blk, r_sub, u4, rg
     return None
