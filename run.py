@@ -83,6 +83,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "domain (±88; docs/PERFORMANCE.md)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard frame windows over all local devices")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel axis size: shard ViT qkv/proj/"
+                        "fc1/fc2 and motion-FF weights Megatron-style over "
+                        "N devices (windows shard over the remaining "
+                        "devices; implies the mesh pipeline)")
+    # multi-host (one process per host; sliding-window mode only)
+    p.add_argument("--coordinator", type=str,
+                   default=os.environ.get("VDA_COORDINATOR"),
+                   help="multi-host: coordinator address host:port "
+                        "(jax.distributed.initialize); env VDA_COORDINATOR")
+    p.add_argument("--num_hosts", type=int,
+                   default=int(os.environ.get("VDA_NUM_HOSTS", "0")) or None,
+                   help="multi-host: total process count; env VDA_NUM_HOSTS")
+    p.add_argument("--host_id", type=int,
+                   default=(int(os.environ["VDA_HOST_ID"])
+                            if "VDA_HOST_ID" in os.environ else None),
+                   help="multi-host: this process's id; env VDA_HOST_ID")
     return p
 
 
@@ -113,6 +130,22 @@ def main(argv=None) -> int:
     from video_depth_anything_tpu.io.video import read_video_frames, save_video
     from video_depth_anything_tpu.models.vda import VDAModel
 
+    multihost = args.coordinator is not None or (args.num_hosts or 1) > 1
+    if multihost:
+        if args.process_single_image or args.data_parallel:
+            raise SystemExit(
+                "--coordinator/--num_hosts is sliding-window only "
+                "(windows shard across hosts; streaming is sequential)"
+            )
+        from video_depth_anything_tpu.parallel.multihost import (
+            initialize_distributed,
+        )
+
+        host_id, n_hosts = initialize_distributed(
+            args.coordinator, args.num_hosts, args.host_id
+        )
+        print(f"multi-host: process {host_id}/{n_hosts}")
+
     os.makedirs(args.output_dir, exist_ok=True)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
 
@@ -137,12 +170,54 @@ def main(argv=None) -> int:
         else:
             model.params = ckpt_io.load_native(ckpt)
 
+    normalize_args(args)
+
+    if multihost:
+        from video_depth_anything_tpu.io.video import (
+            count_video_frames,
+            read_video_frame_range,
+        )
+        from video_depth_anything_tpu.parallel.multihost import (
+            MultiHostVideoDepthPipeline,
+        )
+
+        n_frames, fps = count_video_frames(
+            args.input_video, args.max_len, args.target_fps
+        )
+        if args.target_fps > 0:
+            fps = args.target_fps
+        print(f"multi-host: {n_frames} sampled frames @ {fps:.2f} fps")
+        pipe = MultiHostVideoDepthPipeline(
+            model, input_size=args.input_size,
+            shape_bucket=args.shape_bucket, window_batch=args.window_batch,
+        )
+        t0 = time.time()
+        depths, fps = pipe.infer_video_depth(
+            n_frames,
+            lambda a, b: read_video_frame_range(
+                args.input_video, a, b, args.target_fps, args.max_res
+            ),
+            fps,
+            skip_tmp_block=args.skip_tmp_block,
+            progress=True,
+        )
+        wall = time.time() - t0
+        if host_id != 0:
+            # every host holds the full stitched result; host 0 writes
+            print(
+                f"host {host_id}: {len(depths)} frames in {wall:.2f}s "
+                "(outputs written by host 0)"
+            )
+            return 0
+        frames = read_video_frame_range(
+            args.input_video, 0, n_frames, args.target_fps, args.max_res
+        ) if args.save_orig else np.zeros((0,) + depths.shape[1:] + (3,), np.uint8)
+        return _save_outputs(args, frames, depths, fps, wall)
+
     frames, fps = read_video_frames(
         args.input_video, args.max_len, args.target_fps, args.max_res
     )
     print(f"decoded {len(frames)} frames @ {fps:.2f} fps, {frames.shape[2]}x{frames.shape[1]}")
-
-    normalize_args(args)
 
     t0 = time.time()
     if args.process_single_image and args.kv_cache:
@@ -178,18 +253,26 @@ def main(argv=None) -> int:
             model, input_size=args.input_size, shape_bucket=args.shape_bucket,
             window_batch=args.window_batch,
         )
-        if args.data_parallel:
+        if args.data_parallel or args.model_parallel > 1:
             from video_depth_anything_tpu.parallel.data_parallel import (
                 DataParallelVideoDepthPipeline,
             )
 
             pipe = DataParallelVideoDepthPipeline(
-                model, input_size=args.input_size, shape_bucket=args.shape_bucket
+                model, input_size=args.input_size,
+                shape_bucket=args.shape_bucket,
+                model_parallel=args.model_parallel,
+                window_batch=args.window_batch,
             )
         depths, fps = pipe.infer_video_depth(
             frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True
         )
     wall = time.time() - t0
+    return _save_outputs(args, frames, depths, fps, wall)
+
+
+def _save_outputs(args, frames, depths, fps, wall) -> int:
+    from video_depth_anything_tpu.io.video import save_video
 
     base = os.path.splitext(os.path.basename(args.input_video))[0]
     out_video = os.path.join(args.output_dir, f"{base}_depth.mp4")
@@ -223,7 +306,7 @@ def main(argv=None) -> int:
         append_run_log(
             os.path.join(args.output_dir, "inference_log.txt"),
             args=vars(args),
-            n_frames=len(frames),
+            n_frames=len(frames) or len(depths),
             n_depths=len(depths),
             wall_s=wall,
         )

@@ -79,3 +79,79 @@ def test_initialize_distributed_two_process_cpu():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER_OK {i}" in out, out
+
+
+@pytest.mark.slow
+def test_two_process_e2e_matches_single(tmp_path):
+    """SURVEY §7 step 6 end-to-end: two run.py processes with a localhost
+    coordinator — each decoding only its own host_window_spans frame range
+    and computing only its own windows — must produce exactly the
+    single-process pipeline's stitched depth video (the per-window forward
+    is the same jit program on the same splice-resolved inputs; the
+    process_allgather + stitch adds no arithmetic)."""
+    import numpy as np
+
+    from video_depth_anything_tpu.io.video import save_video
+
+    rng = np.random.RandomState(7)
+    base = np.zeros((60, 64, 80, 3), np.uint8)
+    yy, xx = np.mgrid[0:64, 0:80]
+    for t in range(60):
+        base[t, ..., 0] = ((xx * 3 + t * 5) % 256).astype(np.uint8)
+        base[t, ..., 1] = ((yy * 4 - t * 3) % 256).astype(np.uint8)
+        base[t, ..., 2] = rng.randint(0, 256, (64, 80), np.uint8)
+    video = str(tmp_path / "clip.mp4")
+    save_video(base, video, fps=24)
+
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        VDA_NATIVE_DECODE="0",
+        VDA_NATIVE_PREPROC="0",
+    )
+    env.pop("XLA_FLAGS", None)  # one device per process
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    common = [
+        sys.executable, "run.py", "--input_video", video,
+        "--encoder", "vits", "--random_init", "--fp32",
+        "--input_size", "112", "--window_batch", "1", "--save_npz",
+    ]
+
+    single_dir = str(tmp_path / "single")
+    r = subprocess.run(
+        common + ["--output_dir", single_dir], env=env, cwd=root,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    port = _free_port()
+    multi_dir = str(tmp_path / "multi")
+    procs = [
+        subprocess.Popen(
+            common + [
+                "--output_dir", multi_dir,
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num_hosts", "2", "--host_id", str(i),
+            ],
+            env=env, cwd=root,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail(f"multi-host run hung; partial output: {outs}")
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {i} failed:\n{out}"
+
+    want = np.load(os.path.join(single_dir, "clip_depth.npz"))["depth"]
+    got = np.load(os.path.join(multi_dir, "clip_depth.npz"))["depth"]
+    assert got.shape == want.shape == (60, 64, 80)
+    np.testing.assert_array_equal(got, want)

@@ -184,3 +184,53 @@ def test_zero1_shards_opt_state_and_matches_baseline(small_model, tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_dp_tp_inference_pipeline_matches_serial(small_model):
+    """Productized TP inference (round-3): the mesh pipeline with
+    model_parallel=2 — params TP-sharded via TP_RULES, windows over the
+    remaining data axis — must reproduce the serial single-device pipeline.
+    This is the run.py --model_parallel path."""
+    from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
+    from video_depth_anything_tpu.parallel.data_parallel import (
+        DataParallelVideoDepthPipeline,
+    )
+
+    rng = np.random.RandomState(2)
+    video = (rng.rand(50, 64, 80, 3) * 255).astype(np.uint8)
+
+    serial = VideoDepthPipeline(small_model, input_size=56)
+    want, _ = serial.infer_video_depth(video)
+
+    tp = DataParallelVideoDepthPipeline(
+        small_model, input_size=56, model_parallel=2
+    )
+    assert tp.mesh.shape == {"data": 4, "model": 2}
+    got, _ = tp.infer_video_depth(video)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_multihost_pipeline_single_process_matches_serial(small_model):
+    """MultiHostVideoDepthPipeline degenerates to the serial pipeline at
+    n_hosts=1 (process allgather of one host), and its decode_range contract
+    slices the same frames the serial path preprocesses."""
+    from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
+    from video_depth_anything_tpu.parallel.multihost import (
+        MultiHostVideoDepthPipeline,
+    )
+
+    rng = np.random.RandomState(3)
+    video = (rng.rand(50, 64, 80, 3) * 255).astype(np.uint8)
+
+    serial = VideoDepthPipeline(small_model, input_size=56, window_batch=1)
+    want, _ = serial.infer_video_depth(video)
+
+    mh = MultiHostVideoDepthPipeline(
+        small_model, input_size=56, window_batch=1,
+        process_id=0, num_processes=1,
+    )
+    got, _ = mh.infer_video_depth(len(video), lambda a, b: video[a:b])
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)

@@ -87,6 +87,93 @@ def read_video_frames(
     return np.stack(frames, axis=0), fps
 
 
+def _open_sampling(video_path: str, target_fps: float):
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {video_path}")
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    fps = src_fps if target_fps <= 0 else target_fps
+    stride = max(round(src_fps / fps), 1)
+    return cap, fps, stride
+
+
+def count_video_frames(
+    video_path: str, process_length: int = -1, target_fps: float = -1
+) -> Tuple[int, float]:
+    """(sampled frame count, fps) without decoding — the multi-host driver
+    needs the global count to partition windows before any host decodes
+    (``parallel/multihost.py``).  Uses the container's frame count header
+    (CAP_PROP_FRAME_COUNT; exact for the mp4/avi files cv2 writes and
+    ffmpeg-muxed files generally)."""
+    cap, fps, stride = _open_sampling(video_path, target_fps)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    if total <= 0:
+        raise ValueError(f"container reports no frame count: {video_path}")
+    n = (total + stride - 1) // stride
+    if process_length > 0:
+        n = min(n, process_length)
+    return n, fps
+
+
+def read_video_frame_range(
+    video_path: str,
+    start: int,
+    stop: int,
+    target_fps: float = -1,
+    max_res: int = -1,
+) -> np.ndarray:
+    """Decode sampled frames ``[start, stop)`` only — the per-host decode
+    for multi-host inference (each host reads just its window span's
+    frames).  Seeks to the range when the container supports exact seeks
+    (verified via position readback), else grab()-skips from the head
+    (still no color-convert/retrieve cost for skipped frames).  Sampling,
+    color, and resize semantics identical to ``read_video_frames`` — the
+    result equals ``read_video_frames(...)[0][start:stop]`` bit-for-bit
+    (pinned by tests/test_multihost.py)."""
+    cap, _, stride = _open_sampling(video_path, target_fps)
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    resize_to = None
+    if max_res > 0 and max(height, width) > max_res:
+        scale = max_res / max(height, width)
+        resize_to = (
+            ensure_even(round(width * scale)),
+            ensure_even(round(height * scale)),
+        )
+
+    raw_start = start * stride
+    pos = 0
+    if raw_start:
+        if cap.set(cv2.CAP_PROP_POS_FRAMES, raw_start) and int(
+            cap.get(cv2.CAP_PROP_POS_FRAMES)
+        ) == raw_start:
+            pos = raw_start
+        else:  # pragma: no cover - non-seekable container fallback
+            cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            while pos < raw_start and cap.grab():
+                pos += 1
+
+    frames = []
+    while len(frames) < stop - start:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        if (pos - raw_start) % stride == 0:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if resize_to is not None:
+                frame = cv2.resize(frame, resize_to)
+            frames.append(frame)
+        pos += 1
+    cap.release()
+    if len(frames) < stop - start:
+        raise ValueError(
+            f"decoded {len(frames)} frames for range [{start},{stop}) "
+            f"of {video_path}"
+        )
+    return np.stack(frames, axis=0)
+
+
 def colorize_depth(
     depths: np.ndarray, grayscale: bool = False, spectral: bool = False
 ) -> np.ndarray:

@@ -32,12 +32,28 @@ from video_depth_anything_tpu.utils.transform import preprocess_frames
 
 
 class DataParallelVideoDepthPipeline(VideoDepthPipeline):
-    """Same contract as ``VideoDepthPipeline`` with windows sharded over all
-    devices of a ``('data', 'model')`` mesh (model=1 by default)."""
+    """Same contract as ``VideoDepthPipeline`` with windows sharded over the
+    ``data`` axis of a ``('data', 'model')`` mesh and — when ``model > 1`` —
+    the ViT/motion-FF weights sharded Megatron-style over ``model``
+    (``parallel.mesh.TP_RULES``; SURVEY §2.6 names the TP axis a first-class
+    component for vitl at high resolution).  Pass ``model_parallel=N`` or a
+    prebuilt mesh; params are device_put once with their partition specs and
+    GSPMD inserts the per-block ICI collectives inside the jit."""
 
-    def __init__(self, model, input_size: int = 518, mesh=None, shape_bucket=None):
-        super().__init__(model, input_size, shape_bucket)
-        self.mesh = mesh if mesh is not None else create_mesh()
+    def __init__(
+        self, model, input_size: int = 518, mesh=None, shape_bucket=None,
+        model_parallel: int = 1, window_batch=None,
+    ):
+        super().__init__(model, input_size, shape_bucket, window_batch=window_batch)
+        self.mesh = (
+            mesh if mesh is not None else create_mesh(model=model_parallel)
+        )
+
+    @functools.cached_property
+    def _sharded_params(self):
+        from video_depth_anything_tpu.parallel.mesh import shard_params
+
+        return shard_params(self.model.params, self.mesh)
 
     @functools.cached_property
     def _batched_window_fn(self):
@@ -113,7 +129,7 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
                 NamedSharding(self.mesh, PS("data")),
             )
             depth = self._batched_window_fn(
-                self.model.params, xs, fh, fw, skip_tmp_block=skip_tmp_block
+                self._sharded_params, xs, fh, fw, skip_tmp_block=skip_tmp_block
             )
             window_depths.extend(np.asarray(depth))
         return stitch_windows(window_depths[:n_win], org_len), target_fps

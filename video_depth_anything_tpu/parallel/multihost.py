@@ -88,3 +88,140 @@ def host_window_spans(n_frames: int, n_hosts: int) -> list:
             )
         )
     return spans
+
+
+class MultiHostVideoDepthPipeline:
+    """Host-sharded long-video inference over a multi-process JAX runtime.
+
+    Net-new vs the reference (single-GPU, SURVEY.md §2.6); this is the
+    SURVEY §7 step-6 north star: per-host video shards over DCN.  Each
+    process decodes and preprocesses ONLY its ``host_window_spans`` span,
+    runs those windows through the process-local window forward (its own
+    chip(s)), and the per-window depths are exchanged with one
+    ``process_allgather`` — after which every host runs the (tiny,
+    deterministic) sequential stitch and holds the full result.  DCN
+    carries only the per-window depth maps; everything inside a window
+    stays on the host's own ICI domain.
+
+    The per-window forward is bit-identical to the single-process
+    ``VideoDepthPipeline`` (same jit program, same splice-resolved inputs),
+    so the gathered stitch input — and therefore the stitched video — is
+    bit-for-bit the single-process output (pinned by
+    ``tests/test_multihost.py::test_two_process_e2e_matches_single``).
+    """
+
+    def __init__(
+        self,
+        model,
+        input_size: int = 518,
+        shape_bucket=None,
+        window_batch=None,
+        process_id: Optional[int] = None,
+        num_processes: Optional[int] = None,
+    ):
+        import jax
+
+        from video_depth_anything_tpu.inference.pipeline import (
+            VideoDepthPipeline,
+        )
+
+        self._local = VideoDepthPipeline(
+            model, input_size, shape_bucket=shape_bucket,
+            window_batch=window_batch,
+        )
+        self.model = model
+        self.input_size = input_size
+        self.pid = jax.process_index() if process_id is None else process_id
+        self.n_hosts = (
+            jax.process_count() if num_processes is None else num_processes
+        )
+
+    def infer_video_depth(
+        self,
+        n_frames: int,
+        decode_range,
+        target_fps: float = -1,
+        skip_tmp_block: bool = False,
+        progress: bool = False,
+    ):
+        """``decode_range(a, b) -> uint8 (b−a, H, W, 3)`` returns sampled
+        frames ``[a, b)`` of the video (every host can decode any range —
+        each is asked only for its own span).  ``n_frames`` is the total
+        sampled frame count.  Returns (depth ``(n_frames, H, W)`` fp32,
+        target_fps) — fully replicated on every host."""
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        from video_depth_anything_tpu.inference.pipeline import (
+            num_windows,
+            stitch_windows,
+            window_frame_indices,
+        )
+        from video_depth_anything_tpu.utils.transform import (
+            preprocess_frames,
+        )
+
+        spans = host_window_spans(n_frames, self.n_hosts)
+        span = spans[self.pid]
+        idx = window_frame_indices(n_frames)
+        n_win = num_windows(n_frames)
+        max_local = max(s.window_stop - s.window_start for s in spans)
+
+        # -- local decode + preprocess (only this host's frame range) -------
+        if span.window_stop > span.window_start:
+            real_stop = min(span.frame_stop, n_frames)
+            frames = decode_range(span.frame_start, real_stop)
+        else:
+            frames = decode_range(0, 1)  # shape probe for the exchange
+        fh, fw = frames.shape[1:3]
+        pre = preprocess_frames(
+            frames, self.input_size, self._local._target_hw(fh, fw)
+        )
+        if span.frame_stop > span.frame_start + len(frames):
+            # global tail padding with last-frame copies (ref
+            # video_depth.py:351-354) — only the final host's span reaches
+            # past n_frames, and its last decoded frame IS the global last
+            pre = np.concatenate(
+                [pre]
+                + [pre[-1:]] * (span.frame_stop - span.frame_start - len(frames))
+            )
+
+        # -- local window forwards (same jit program as single-host) --------
+        local_depths = []
+        if span.window_stop > span.window_start:
+            wb = self._local.window_batch
+            local_idx = idx[span.window_start : span.window_stop] - span.frame_start
+            n_local = len(local_idx)
+            if n_local % wb:
+                local_idx = np.concatenate(
+                    [local_idx, np.repeat(local_idx[-1:], (-n_local) % wb, axis=0)]
+                )
+            it = range(0, len(local_idx), wb)
+            if progress and self.pid == 0:
+                from tqdm import tqdm
+
+                it = tqdm(it, desc=f"host 0/{self.n_hosts} windows (x{wb})")
+            for s in it:
+                chunk = local_idx[s : s + wb]
+                x = jnp.asarray(pre[chunk], dtype=self.model.dtype)
+                d = self._local._window_fn(
+                    self.model.params, x, fh, fw,
+                    skip_tmp_block=skip_tmp_block,
+                )
+                local_depths.extend(np.asarray(d))
+            local_depths = local_depths[:n_local]
+
+        # -- one DCN exchange: (n_hosts, max_local, T, fh, fw) fp32 ---------
+        from video_depth_anything_tpu.config import INFER_LEN
+
+        buf = np.zeros((max_local, INFER_LEN, fh, fw), np.float32)
+        if local_depths:
+            buf[: len(local_depths)] = np.stack(local_depths)
+        gathered = np.asarray(multihost_utils.process_allgather(buf))
+
+        window_depths = []
+        for h, s in enumerate(spans):
+            for w in range(s.window_stop - s.window_start):
+                window_depths.append(gathered[h, w])
+        assert len(window_depths) == n_win
+        return stitch_windows(window_depths, n_frames), target_fps
