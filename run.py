@@ -62,8 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "re-running the 32-frame window).  The working "
                         "equivalent of the reference's experimental "
                         "DPTHeadTemporalCrossAtt (dpt_temporal.py:263-343). "
-                        "Incompatible with --keyframe_list/"
-                        "--align_each_new_frame (pure sliding window)")
+                        "Combine with --align_each_new_frame for on-device "
+                        "per-frame realignment against the pinned anchor "
+                        "frame; --keyframe_list is ignored (the anchor is "
+                        "the sole pinned reference in KV mode)")
     # outputs
     p.add_argument("--grayscale", action="store_true")
     p.add_argument("--save_npz", action="store_true")
@@ -221,11 +223,6 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     if args.process_single_image and args.kv_cache:
-        if args.align_each_new_frame:
-            raise SystemExit(
-                "--kv_cache is a pure sliding window (cached frames cannot "
-                "be re-predicted); --align_each_new_frame is unsupported"
-            )
         from video_depth_anything_tpu.inference.kv_streaming import (
             KVStreamingPipeline,
         )
@@ -234,6 +231,7 @@ def main(argv=None) -> int:
             model,
             input_size=args.input_size,
             inference_length=args.inference_length,
+            align_each_new_frame=args.align_each_new_frame,
         )
         depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
     elif args.process_single_image:

@@ -102,3 +102,109 @@ def test_kv_pipeline_close_to_feature_cache_streaming(rng):
     denom = np.abs(want).mean() + 1e-8
     rel = np.abs(got_tail - want).mean() / denom
     assert rel < 0.1, rel
+
+
+def test_scale_shift_jax_matches_numpy(rng):
+    """The on-device fit used by the aligned KV step must reproduce the
+    host closed-form solve (ops/scale_shift.py both backends)."""
+    from video_depth_anything_tpu.ops.scale_shift import (
+        compute_scale_and_shift,
+        compute_scale_and_shift_jax,
+    )
+
+    pred = rng.rand(40, 50).astype(np.float32) * 3 + 0.5
+    tgt = (pred * 1.7 - 0.3 + rng.randn(40, 50) * 0.05).astype(np.float32)
+    s_np, t_np = compute_scale_and_shift(pred, tgt)
+    s_j, t_j = compute_scale_and_shift_jax(jnp.asarray(pred), jnp.asarray(tgt))
+    assert np.isclose(float(s_j), s_np, rtol=1e-5)
+    assert np.isclose(float(t_j), t_np, rtol=1e-4, atol=1e-5)
+
+
+def test_kv_aligned_identity_motion_matches_plain(rng):
+    """With identity motion modules the anchor's fresh prediction equals its
+    stored warmup depth, so the per-frame fit is (s, t) = (1, 0) and the
+    aligned pipeline must reproduce the plain KV pipeline (pins the pinned-
+    anchor cache layout, the 2-query APE slots, and the in-jit fit)."""
+    model = _make_model()
+    frames = _frames(rng, 9)
+    plain = KVStreamingPipeline(model, input_size=28, inference_length=4)
+    want, _ = plain.infer(frames)
+    aligned = KVStreamingPipeline(
+        model, input_size=28, inference_length=4, align_each_new_frame=True
+    )
+    got, _ = aligned.infer(frames)
+    assert got.shape == want.shape == (9, 36, 44)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def _randomize_motion(model, scale=0.02, seed=7):
+    params = flax.core.unfreeze(model.params)
+    prng = np.random.RandomState(seed)
+    for name in ("motion_0", "motion_1", "motion_2", "motion_3"):
+        k = params["head"][name]["proj_out"]["kernel"]
+        params["head"][name]["proj_out"]["kernel"] = scale * jnp.asarray(
+            prng.randn(*k.shape), jnp.float32
+        )
+    model.params = params
+
+
+def _drift_scene(n, h=36, w=44):
+    """Slowly drifting gradient scene — smooth enough that the batch
+    sliding-window output is temporally coherent."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            np.stack(
+                [
+                    (xx * 4 + 2 * t) % 256,
+                    (yy * 4 + t) % 256,
+                    ((xx + yy) * 2 + t) % 256,
+                ],
+                axis=-1,
+            )
+            for t in range(n)
+        ]
+    ).astype(np.uint8)
+
+
+@pytest.mark.slow
+def test_kv_drift_bounded_over_long_video(rng):
+    """Drift bound for the O(1) mode (round-3 verdict item): over a
+    200-frame scene, the KV-mode depth must stay within a quantified bound
+    of the batch sliding-window depth — the frozen-cached-hidden-state
+    drift is the semantic cost of the O(1) mode, measured here per frame.
+    Numbers recorded in docs/PERFORMANCE.md (KV drift section)."""
+    from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
+
+    model = _make_model()
+    _randomize_motion(model)
+    n = 200
+    frames = _drift_scene(n)
+
+    batch = VideoDepthPipeline(model, input_size=28, window_batch=1)
+    want, _ = batch.infer_video_depth(frames)
+
+    kv = KVStreamingPipeline(model, input_size=28, inference_length=8)
+    got, _ = kv.infer(frames)
+    aligned = KVStreamingPipeline(
+        model, input_size=28, inference_length=8, align_each_new_frame=True
+    )
+    got_al, _ = aligned.infer(frames)
+
+    denom = np.abs(want).mean() + 1e-8
+    rel = np.abs(got - want).mean(axis=(1, 2)) / denom
+    rel_al = np.abs(got_al - want).mean(axis=(1, 2)) / denom
+    # quantified drift bounds (measured on this scene/seed: plain tail-50
+    # 0.22 / peak 0.55; aligned 0.10 / 0.30 — docs/PERFORMANCE.md); bounds
+    # carry margin, the aligned<plain ordering is the substantive claim
+    for name, r, tail_bound, peak_bound in (
+        ("plain", rel, 0.30, 0.70),
+        ("aligned", rel_al, 0.16, 0.42),
+    ):
+        tail = float(r[-50:].mean())
+        peak = float(r.max())
+        print(f"kv drift [{name}]: tail-50 mean {tail:.4f}, peak {peak:.4f}")
+        assert tail < tail_bound, (name, tail)
+        assert peak < peak_bound, (name, peak)
+    # per-frame realignment must reduce accumulated drift
+    assert rel_al[-50:].mean() < rel[-50:].mean()

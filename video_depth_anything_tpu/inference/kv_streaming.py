@@ -38,21 +38,41 @@ from video_depth_anything_tpu.utils.transform import preprocess_frames
 
 
 class KVStreamingPipeline:
-    """Streaming inference with per-motion-module K/V ring caches."""
+    """Streaming inference with per-motion-module K/V ring caches.
 
-    def __init__(self, model, input_size: int = 518, inference_length: int = 32):
+    ``align_each_new_frame``: per-frame scale/shift realignment — the
+    KV-mode equivalent of the reference's streaming realignment
+    (``video_depth.py:303-317``).  Each step re-predicts the pinned anchor
+    frame (global frame 0, whose K/V stay in cache slot 0 forever — the
+    KV translation of the feature-cache mode's ``tmp[0] = 0``) alongside
+    the newest frame, fits (s, t) between the anchor's fresh prediction
+    and its stored warmup depth, and emits ``new·s + t``.  Unlike the
+    feature-cache align mode the fit runs ON DEVICE inside the step
+    program (``compute_scale_and_shift_jax``), so there is no per-frame
+    host feedback and the D2H-overlap pipelining is preserved.  Cost: one
+    extra head pass per step (the anchor's encoder features are cached —
+    no extra encoder work)."""
+
+    def __init__(
+        self,
+        model,
+        input_size: int = 518,
+        inference_length: int = 32,
+        align_each_new_frame: bool = False,
+    ):
         self.model = model
         self.input_size = input_size
         self.L = inference_length
+        self.align = align_each_new_frame
 
     @functools.cached_property
     def _start_fn(self):
         module = self.model.module
 
         @functools.partial(
-            jax.jit, static_argnames=("skip_tmp_block", "out_hw")
+            jax.jit, static_argnames=("skip_tmp_block", "out_hw", "pin_anchor")
         )
-        def start(params, x, skip_tmp_block=False, out_hw=None):
+        def start(params, x, skip_tmp_block=False, out_hw=None, pin_anchor=False):
             depth, caches = module.apply(
                 {"params": params},
                 x,
@@ -60,9 +80,16 @@ class KVStreamingPipeline:
                 method="streaming_kv_start",
             )
             depth = _resize_out(depth, out_hw)
-            # drop the oldest frame: the ring caches hold L−1 entries and
-            # each step appends the new frame
-            caches = jax.tree.map(lambda c: c[:, 1:], caches)
+            # the ring caches hold L−1 entries and each step appends the new
+            # frame: drop the oldest — or, pinned (realignment mode), drop
+            # frame 1 so slot 0 keeps the global first frame forever
+            if pin_anchor:
+                caches = jax.tree.map(
+                    lambda c: jnp.concatenate([c[:, :1], c[:, 2:]], axis=1),
+                    caches,
+                )
+            else:
+                caches = jax.tree.map(lambda c: c[:, 1:], caches)
             return depth, caches
 
         return start
@@ -85,6 +112,51 @@ class KVStreamingPipeline:
                 method="streaming_kv_step",
             )
             return _resize_out(depth[:, None], out_hw)[:, 0], caches
+
+        return step
+
+    @functools.cached_property
+    def _levels_fn(self):
+        module = self.model.module
+
+        @jax.jit
+        def levels(params, x):
+            return module.apply(
+                {"params": params}, x, method="encode_level_features"
+            )
+
+        return levels
+
+    @functools.cached_property
+    def _aligned_step_fn(self):
+        module = self.model.module
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("skip_tmp_block", "out_hw"),
+            donate_argnums=(2,),
+        )
+        def step(
+            params, x, caches, anchor_levels, ref_anchor,
+            skip_tmp_block=False, out_hw=None,
+        ):
+            from video_depth_anything_tpu.ops.scale_shift import (
+                compute_scale_and_shift_jax,
+            )
+
+            depth, caches = module.apply(
+                {"params": params},
+                x,
+                caches,
+                skip_tmp_block=skip_tmp_block,
+                anchor_levels=anchor_levels,
+                method="streaming_kv_step",
+            )
+            d = _resize_out(depth[None], out_hw)[0]  # (2, fh, fw) fp32
+            s, t = compute_scale_and_shift_jax(d[0], ref_anchor)
+            # same aligned-output arithmetic as the feature-cache mode
+            # (inference/streaming.py: depth_list.append(cur*s + t))
+            return (d[1] * s + t)[None], caches, s, t
 
         return step
 
@@ -115,10 +187,23 @@ class KVStreamingPipeline:
             jnp.asarray(warm[None], dtype=dtype),
             skip_tmp_block=skip_tmp_block,
             out_hw=(fh, fw),
+            pin_anchor=self.align,
         )
         depth_list: List[np.ndarray] = list(
             np.asarray(depth0[0], dtype=np.float32)[:n_warm]
         )
+
+        anchor_levels = ref_anchor = None
+        if self.align:
+            # anchor's pre-motion level features are pure per-frame encoder
+            # functions — computed once, reused by every aligned step
+            anchor_levels = self._levels_fn(
+                params, jnp.asarray(warm[:1], dtype=dtype)
+            )
+            # the realignment reference stays the warmup prediction forever
+            # (the reference pins ref frame 0 the same way,
+            # video_depth.py:409-413 / use_feature_idx[...][0] = 0)
+            ref_anchor = depth0[0, 0]
 
         it = range(L, org_len)
         if progress:
@@ -129,13 +214,24 @@ class KVStreamingPipeline:
         pending: List[jnp.ndarray] = []
         for i in it:
             x = jnp.asarray(pre[i][None], dtype=dtype)
-            depth, caches = self._step_fn(
-                params,
-                x,
-                caches,
-                skip_tmp_block=skip_tmp_block,
-                out_hw=(fh, fw),
-            )
+            if self.align:
+                depth, caches, _, _ = self._aligned_step_fn(
+                    params,
+                    x,
+                    caches,
+                    anchor_levels,
+                    ref_anchor,
+                    skip_tmp_block=skip_tmp_block,
+                    out_hw=(fh, fw),
+                )
+            else:
+                depth, caches = self._step_fn(
+                    params,
+                    x,
+                    caches,
+                    skip_tmp_block=skip_tmp_block,
+                    out_hw=(fh, fw),
+                )
             # one-frame lag: this frame's D2H overlaps the next dispatch
             # (transfer starts NOW, not at the np.asarray drain)
             pending.append(start_host_transfer(depth))

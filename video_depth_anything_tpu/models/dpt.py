@@ -146,10 +146,10 @@ class DPTHeadTemporal(nn.Module):
         y, caches = module.collect(y)
         return y.reshape(x.shape), caches
 
-    def _temporal_kv(self, module, x_new: jnp.ndarray, caches):
-        """(1, H, W, C) newest-frame map → module.kv_step → same shape."""
+    def _temporal_kv(self, module, x_new: jnp.ndarray, caches, pin_anchor=False):
+        """(Q, H, W, C) query-frame maps → module.kv_step → same shape."""
         y = x_new.reshape((1,) + x_new.shape)
-        y, new_caches = module.kv_step(y, caches)
+        y, new_caches = module.kv_step(y, caches, pin_anchor=pin_anchor)
         return y.reshape(x_new.shape), new_caches
 
     def level_features(
@@ -342,17 +342,35 @@ class DPTHeadTemporal(nn.Module):
         ph: int,
         pw: int,
         skip_tmp_block: bool = False,
+        anchor_levels=None,
     ):
         """One KV-streaming step: encoder taps of the newest frame only →
         depth of that frame, O(1 frame) work everywhere (each motion module
         attends its single query frame over its K/V ring cache — no
         re-running the 32-frame window, unlike ``streaming_forward``).
-        Returns ``(depth (1, 14ph, 14pw, 1), new kv_caches)``."""
+        Returns ``(depth (Q, 14ph, 14pw, 1), new kv_caches)``.
+
+        ``anchor_levels`` (4 per-level maps of the global first frame, each
+        ``(1, h_l, w_l, C_l)``): the realignment mode — the anchor is
+        re-predicted alongside the newest frame (queries [anchor, new] at
+        APE slots [0, last]; O(1) extra head work, no extra encoder work),
+        its cache slot 0 stays pinned, and the caller scale/shift-fits the
+        anchor's fresh prediction against its stored depth — the KV-mode
+        equivalent of the reference's per-frame keyframe realignment
+        (``video_depth.py:303-317``, anchor ``tmp[0] = 0`` pinned
+        forever)."""
         n1, n2, n3, n4 = self.level_features(new_features, ph, pw)
         kv0, kv1, kv2, kv3 = kv_caches
+        pin = anchor_levels is not None
+        if pin:
+            a1, a2, a3, a4 = anchor_levels
+            n1 = jnp.concatenate([a1, n1], axis=0)
+            n2 = jnp.concatenate([a2, n2], axis=0)
+            n3 = jnp.concatenate([a3, n3], axis=0)
+            n4 = jnp.concatenate([a4, n4], axis=0)
 
-        l3, kv0 = self._temporal_kv(self.motion_0, n3, kv0)
-        l4, kv1 = self._temporal_kv(self.motion_1, n4, kv1)
+        l3, kv0 = self._temporal_kv(self.motion_0, n3, kv0, pin)
+        l4, kv1 = self._temporal_kv(self.motion_1, n4, kv1, pin)
 
         r1 = self.layer1_rn(n1)
         r2 = self.layer2_rn(n2)
@@ -361,9 +379,9 @@ class DPTHeadTemporal(nn.Module):
 
         path4 = self.refinenet4(r4, out_hw=r3.shape[-3:-1])
         if not skip_tmp_block:
-            path4, kv2 = self._temporal_kv(self.motion_2, path4, kv2)
+            path4, kv2 = self._temporal_kv(self.motion_2, path4, kv2, pin)
         path3 = self.refinenet3(path4, r3, out_hw=r2.shape[-3:-1])
-        path3, kv3 = self._temporal_kv(self.motion_3, path3, kv3)
+        path3, kv3 = self._temporal_kv(self.motion_3, path3, kv3, pin)
         path2 = self.refinenet2(path3, r2, out_hw=r1.shape[-3:-1])
         path1 = self.refinenet1(path2, r1)
         depth = self._output_head(path1, ph, pw)

@@ -192,30 +192,45 @@ class TemporalSelfAttention(nn.Module):
         out = self._attend(q, k, v, b, s, c)
         return out, k_free, v_free
 
-    def kv_step(self, x_new: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray):
-        """Single-frame step against a position-free K/V ring cache.
+    def kv_step(
+        self,
+        x_new: jnp.ndarray,
+        k_cache: jnp.ndarray,
+        v_cache: jnp.ndarray,
+        pin_anchor: bool = False,
+    ):
+        """Query step against a position-free K/V ring cache.
 
-        ``x_new (B, 1, S, C)`` is the pre-normed hidden of the newest frame;
+        ``x_new (B, Q, S, C)``: pre-normed hiddens of the query frames —
+        the LAST query is the newest frame (the only one whose K/V enter
+        the cache).  Leading queries, when present, are re-predicted
+        reference frames for per-frame realignment: query ``q < Q−1`` takes
+        APE window slot ``q`` (the pinned anchor sits at slot 0 forever,
+        mirroring the feature-cache mode's ``tmp[0] = 0`` pin of the global
+        first frame), while the newest frame takes the last slot.
         ``k_cache, v_cache (B, T−1, S, C)`` hold the previous frames'
-        position-free projections (oldest→newest).  The new frame takes the
-        last APE slot of the current window, attends over ``cache ∪ new``,
-        and the caches shift left by one with the new projections appended.
-        Returns ``(out (B, 1, S, C), k_cache', v_cache')``.
+        position-free projections (oldest→newest); all queries attend over
+        ``cache ∪ new``.  Eviction: drop the oldest cached frame — or,
+        with ``pin_anchor``, drop slot 1 so slot 0 (the global first
+        frame's projections) stays resident forever.
+        Returns ``(out (B, Q, S, C), k_cache', v_cache')``.
         """
         cfg = self.cfg
-        b, _, s, c = x_new.shape
+        b, nq, s, c = x_new.shape
         t = k_cache.shape[1] + 1
+        slots = np.asarray(
+            list(range(nq - 1)) + [min(t, cfg.temporal_max_len) - 1]
+        )
 
-        k_new = self.to_k(x_new)
-        v_new = self.to_v(x_new)
+        k_new = self.to_k(x_new[:, -1:])
+        v_new = self.to_v(x_new[:, -1:])
         k_all = jnp.concatenate([k_cache, k_new], axis=1)
         v_all = jnp.concatenate([v_cache, v_new], axis=1)
 
         if cfg.pos_embedding_type == "ape":
             pe = sinusoidal_position_table(cfg.temporal_max_len, self.dim)
             q = self.to_q(
-                x_new
-                + jnp.asarray(pe[min(t, cfg.temporal_max_len) - 1], x_new.dtype)
+                x_new + jnp.asarray(pe[slots], x_new.dtype)[None, :, None, :]
             )
             k_att = k_all + self._pe_proj(self.to_k, t, x_new.dtype)[None]
             v_att = v_all + self._pe_proj(self.to_v, t, x_new.dtype)[None]
@@ -223,8 +238,8 @@ class TemporalSelfAttention(nn.Module):
             cos, sin = rope_tables(cfg.temporal_max_len, self.dim)
             q = _apply_rope(
                 self.to_q(x_new),
-                jnp.asarray(cos[t - 1 : t, None, :]),
-                jnp.asarray(sin[t - 1 : t, None, :]),
+                jnp.asarray(cos[slots, None, :]),
+                jnp.asarray(sin[slots, None, :]),
             )
             k_att = _apply_rope(
                 k_all,
@@ -236,7 +251,12 @@ class TemporalSelfAttention(nn.Module):
             q, k_att, v_att = self.to_q(x_new), k_all, v_all
 
         out = self._attend(q, k_att, v_att, b, s, c)
-        # sliding-window eviction: drop the oldest cached frame
+        if pin_anchor:
+            return (
+                out,
+                jnp.concatenate([k_all[:, :1], k_all[:, 2:]], axis=1),
+                jnp.concatenate([v_all[:, :1], v_all[:, 2:]], axis=1),
+            )
         return out, k_all[:, 1:], v_all[:, 1:]
 
 
@@ -297,14 +317,16 @@ class TemporalTransformerBlock(nn.Module):
         h = self.ff_norm(x)
         return x + self.ff(h), tuple(caches)
 
-    def kv_step(self, x_new: jnp.ndarray, caches):
-        """Single-frame step; ``caches``: tuple per attention block of
-        (k_cache, v_cache).  LN/FF run on the new frame only (both are
+    def kv_step(self, x_new: jnp.ndarray, caches, pin_anchor: bool = False):
+        """Query-frame step; ``caches``: tuple per attention block of
+        (k_cache, v_cache).  LN/FF run on the query frames only (both are
         strictly per-frame ops)."""
         new_caches = []
         for i in range(self.cfg.num_attention_blocks):
             h = getattr(self, f"norm_{i}")(x_new)
-            out, k2, v2 = getattr(self, f"attn_{i}").kv_step(h, *caches[i])
+            out, k2, v2 = getattr(self, f"attn_{i}").kv_step(
+                h, *caches[i], pin_anchor=pin_anchor
+            )
             x_new = x_new + out
             new_caches.append((k2, v2))
         h = self.ff_norm(x_new)
@@ -366,18 +388,20 @@ class TemporalModule(nn.Module):
         y = self.proj_out(y)
         return y + residual, tuple(caches)
 
-    def kv_step(self, x_new: jnp.ndarray, caches):
-        """Single-frame ``(B, 1, H, W, C)`` step against the module's KV
-        caches; GroupNorm/proj/FF are per-frame, so only the new frame is
-        computed — O(1) per frame instead of re-running the 32-frame
-        window."""
+    def kv_step(self, x_new: jnp.ndarray, caches, pin_anchor: bool = False):
+        """Query frames ``(B, Q, H, W, C)`` step against the module's KV
+        caches (last query = newest frame); GroupNorm/proj/FF are
+        per-frame, so only the query frames are computed — O(1) per frame
+        instead of re-running the 32-frame window."""
         b, t, h, w, c = x_new.shape
         residual = x_new
         y = self.proj_in(self.norm(x_new))
         y = y.reshape(b, t, h * w, self._inner())
         new_caches = []
         for i in range(self.cfg.num_transformer_blocks):
-            y, ci = getattr(self, f"block_{i}").kv_step(y, caches[i])
+            y, ci = getattr(self, f"block_{i}").kv_step(
+                y, caches[i], pin_anchor=pin_anchor
+            )
             new_caches.append(ci)
         y = y.reshape(b, t, h, w, self._inner())
         y = self.proj_out(y)

@@ -145,16 +145,24 @@ class VideoDepthAnything(nn.Module):
         return depth.reshape(b, t, h, w), caches
 
     def streaming_kv_step(
-        self, x: jnp.ndarray, kv_caches, skip_tmp_block: bool = False
+        self,
+        x: jnp.ndarray,
+        kv_caches,
+        skip_tmp_block: bool = False,
+        anchor_levels=None,
     ):
         """One newest frame ``(1, H, W, 3)`` + KV caches → (depth
-        ``(1, H, W)`` at input resolution, shifted caches).  O(1) per frame:
-        nothing outside this frame is recomputed."""
+        ``(Q, H, W)`` at input resolution, shifted caches).  O(1) per frame:
+        nothing outside this frame is recomputed.  With ``anchor_levels``
+        (realignment mode) the anchor frame is re-predicted too — depth row
+        0 is the anchor's fresh prediction, row 1 the newest frame's — and
+        cache slot 0 stays pinned to the anchor (``streaming_kv_forward``)."""
         _, h, w, _ = x.shape
         ph, pw = self._check_hw(h, w)
         feats = self.pretrained(x, self.cfg.intermediate_layer_idx)
         depth, new_caches = self.head.streaming_kv_forward(
-            feats, kv_caches, ph, pw, skip_tmp_block=skip_tmp_block
+            feats, kv_caches, ph, pw, skip_tmp_block=skip_tmp_block,
+            anchor_levels=anchor_levels,
         )
         depth = depth.astype(x.dtype)
         depth = bilinear_resize(depth, h, w)
