@@ -23,17 +23,19 @@ BASELINE_FPS_A100_FP16_SMALL = 1000.0 / 7.5 * 1.0  # per-frame ms -> frames/s
 
 
 def bench_window(encoder: str = "vits", size: int = 518, frames: int = 32,
-                 iters: int = 10, warmup: int = 3, batch: int = 1) -> dict:
+                 iters: int = 10, warmup: int = 3, batch: int = 1,
+                 attn_impl: str = "auto") -> dict:
     """``batch`` > 1 measures the window-batched production path
     (independent sliding windows per program, inference/pipeline.py
     ``window_batch``): per-kernel-call fixed costs amortize — vits 329 →
-    400 f/s/chip at batch 4 on v5e."""
+    400 f/s/chip at batch 4 on v5e.  ``attn_impl="auto:fast"`` selects the
+    no-max exp2 softmax in the Pallas spatial kernel (run.py --attn_impl)."""
     import jax
     import jax.numpy as jnp
 
     from video_depth_anything_tpu.models.vda import VDAModel
 
-    model = VDAModel(encoder, dtype=jnp.bfloat16)
+    model = VDAModel(encoder, dtype=jnp.bfloat16, attn_impl=attn_impl)
     model.init_params(jax.random.PRNGKey(0))
 
     x = jax.device_put(
@@ -256,7 +258,9 @@ def main() -> int:
         # compile failure in a secondary config
         for key, fn in (
             ("vits_wb4", lambda: bench_window("vits", batch=4)),
+            ("vitb", lambda: bench_window("vitb")),
             ("vitl", lambda: bench_window("vitl")),
+            ("vitl_fast", lambda: bench_window("vitl", attn_impl="auto:fast")),
             ("streaming_vits", lambda: bench_streaming("vits", chunk=1)),
             ("streaming_vits_chunked", lambda: bench_streaming("vits")),
             ("kv_streaming_vits", lambda: bench_kv_streaming("vits")),

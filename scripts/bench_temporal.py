@@ -280,6 +280,76 @@ def main(argv=None):
             dt = amortized(lambda: ff(x, w1, w2), force, args.iters)
             emit(f"{name}/geglu", dt)
 
+        if "bisect" in variants:
+            # Bisect the whole-module-minus-component-sum gap (m0: 22.6 vs
+            # ~17.1 component sum): "shell" = GN→proj_in→proj_out+residual
+            # (no transformer block), "block" = the transformer block alone
+            # (2×(LN→XLA attn→res) + LN→GEGLU→res) from a materialized y.
+            from video_depth_anything_tpu.config import MotionModuleConfig
+            from video_depth_anything_tpu.models.temporal import (
+                TemporalModule,
+                TemporalTransformerBlock,
+            )
+
+            hw = int(round(s**0.5))
+            xm = x.reshape(1, T, hw, hw, c)
+            cfg = MotionModuleConfig()
+            mod = TemporalModule(cfg, c)
+            params = mod.init(jax.random.PRNGKey(0), xm)
+
+            import flax.linen as fnn
+
+            def shell_fn(mdl, xin):
+                residual = xin
+                y = mdl.proj_in(mdl.norm(xin))
+                return mdl.proj_out(y) + residual
+
+            app_shell = jax.jit(fnn.apply(shell_fn, mod))
+            dt = amortized(lambda: app_shell(params, xm), force, args.iters)
+            emit(f"{name}/shell", dt)
+
+            blk = TemporalTransformerBlock(cfg, c, "xla")
+            xb = x  # (1, T, S, C) token layout the block consumes
+            bparams = {"params": params["params"]["block_0"]}
+            app_blk = jax.jit(lambda p, xx: blk.apply(p, xx))
+            dt = amortized(lambda: app_blk(bparams, xb), force, args.iters)
+            emit(f"{name}/block_xla", dt)
+
+        if "fusedmod" in variants:
+            # Whole-module A/B: XLA module vs the fused Pallas module kernel
+            # (ops/pallas_motion.py) at the same params.
+            import os
+
+            from video_depth_anything_tpu.config import MotionModuleConfig
+            from video_depth_anything_tpu.models.temporal import TemporalModule
+
+            hw = int(round(s**0.5))
+            xm = x.reshape(1, T, hw, hw, c)
+            cfg = MotionModuleConfig()
+            mod = TemporalModule(cfg, c, "xla")
+            params = mod.init(jax.random.PRNGKey(0), xm)
+            appx = jax.jit(lambda p, xx: mod.apply(p, xx))
+            dt = amortized(lambda: appx(params, xm), force, args.iters)
+            emit(f"{name}/module_xla", dt)
+
+            os.environ["VDA_FUSED_MOTION"] = "1"
+            modf = TemporalModule(cfg, c, "auto")
+            appf = jax.jit(lambda p, xx: modf.apply(p, xx))
+            try:
+                got = appf(params, xm)
+                want = appx(params, xm)
+                err = float(
+                    jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)).max()
+                    / (jnp.abs(want.astype(jnp.float32)).max() + 1e-6)
+                )
+                dt = amortized(lambda: appf(params, xm), force, args.iters)
+                emit(f"{name}/module_fused", dt)
+                emit(f"{name}/module_fused_relerr", err)
+            except Exception as e:  # noqa: BLE001
+                emit(f"{name}/module_fused", f"ERROR: {type(e).__name__}: {e}")
+            finally:
+                os.environ["VDA_FUSED_MOTION"] = "auto"
+
         if "module" in variants:
             from video_depth_anything_tpu.config import MotionModuleConfig
             from video_depth_anything_tpu.models.temporal import TemporalModule

@@ -157,9 +157,16 @@ def test_train_cli_end_to_end(tmp_path):
         "--dataset", "tartanair", "--root", root, "--encoder", "vits",
         "--steps", "2", "--clip_len", "2", "--input_size", "28",
         "--save_every", "2", "--log_every", "1", "--out", out,
+        "--eval_every", "2", "--eval_clips", "1",
     ]
     assert train_cli.main(args) == 0
     assert os.path.isdir(os.path.join(out, "state_latest"))
+    # the validation hook ran at step 2 and landed in the stats file
+    with open(os.path.join(out, "train_log.jsonl")) as fh:
+        lines = [json.loads(l) for l in fh]
+    val = [l for l in lines if "val_absrel_disp" in l]
+    assert val and val[0]["step"] == 2
+    assert 0 <= val[0]["val_delta1_disp"] <= 1
 
-    # resume picks up at step 2 and runs to 3
-    assert train_cli.main(args[:-4] + ["--steps", "3", "--out", out, "--resume"]) == 0
+    # resume picks up at step 2 and runs to 3 (argparse last-wins --steps)
+    assert train_cli.main(args + ["--steps", "3", "--resume"]) == 0

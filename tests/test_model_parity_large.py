@@ -160,3 +160,19 @@ def test_forward_parity_vitb(rng):
     x = rng.randn(1, 2, 3, 56, 70).astype(np.float32)
     got, want = _run_both(model, cfg, params, x)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_forward_parity_fullres_vits(rng):
+    """Production-resolution oracle (round-3 verdict item 7): vits at the
+    real 518² input — 37×37 patch grid, so the bicubic pos-embed
+    interpolation with the 0.1 offset (dinov2.py:179-210, SURVEY §7 hard
+    part 1) runs at its production geometry instead of the 5×5-scale grids
+    the other parity tests cover."""
+    model = load_reference_vda("vits", seed=0)
+    state = reference_state_numpy(model)
+    cfg = get_model_config("vits")
+    params = convert_torch_state_dict(state, cfg)
+    x = rng.randn(1, 2, 3, 518, 518).astype(np.float32)
+    got, want = _run_both(model, cfg, params, x)
+    assert got.shape == want.shape == (1, 2, 518, 518)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-4)

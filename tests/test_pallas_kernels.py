@@ -314,3 +314,127 @@ def test_spatial_flash_grads_match_xla(rng):
         np.testing.assert_allclose(
             np.asarray(gg), np.asarray(w), rtol=2e-3, atol=2e-3
         )
+
+
+def _motion_raw_params(params, cfg):
+    p = params["params"]
+    blk = p["block_0"]
+    n = cfg.num_attention_blocks
+    return dict(
+        gn_scale=p["norm"]["scale"], gn_bias=p["norm"]["bias"],
+        w_in=p["proj_in"]["kernel"], b_in=p["proj_in"]["bias"],
+        ln_scale=jnp.stack(
+            [blk[f"norm_{i}"]["scale"] for i in range(n)]
+            + [blk["ff_norm"]["scale"]]
+        ),
+        ln_bias=jnp.stack(
+            [blk[f"norm_{i}"]["bias"] for i in range(n)]
+            + [blk["ff_norm"]["bias"]]
+        ),
+        wq=jnp.stack([blk[f"attn_{i}"]["to_q"]["kernel"] for i in range(n)]),
+        wk=jnp.stack([blk[f"attn_{i}"]["to_k"]["kernel"] for i in range(n)]),
+        wv=jnp.stack([blk[f"attn_{i}"]["to_v"]["kernel"] for i in range(n)]),
+        wo=jnp.stack([blk[f"attn_{i}"]["to_out"]["kernel"] for i in range(n)]),
+        bo=jnp.stack([blk[f"attn_{i}"]["to_out"]["bias"] for i in range(n)]),
+        w1=blk["ff"]["proj"]["kernel"], b1=blk["ff"]["proj"]["bias"],
+        w2=blk["ff"]["out"]["kernel"], b2=blk["ff"]["out"]["bias"],
+        w_out=p["proj_out"]["kernel"], b_out=p["proj_out"]["bias"],
+    )
+
+
+@pytest.mark.parametrize(
+    "c,s,t",
+    [(256, 36, 8), (128, 25, 32), (64, 64, 8), (192, 36, 8)],
+    # 256/128: aligned lane groups; 64/192: gunit=2 block-diagonal groups
+)
+def test_fused_motion_module_matches_module(rng, c, s, t):
+    """Whole-module fused kernel (ops/pallas_motion.py) vs TemporalModule:
+    GroupNorm fold, packed lane-group GEMMs/LayerNorm, segment-matrix
+    attend, GEGLU chunking, residuals — all in one program."""
+    import flax
+
+    from video_depth_anything_tpu.config import MotionModuleConfig
+    from video_depth_anything_tpu.models.temporal import TemporalModule
+    from video_depth_anything_tpu.ops.pallas_motion import (
+        motion_module_reference,
+        try_fused_motion_module,
+    )
+
+    cfg = MotionModuleConfig()
+    hw = int(round(s**0.5))
+    x5 = jnp.asarray(rng.randn(1, t, hw, hw, c) * 0.5, jnp.float32)
+    mod = TemporalModule(cfg, c, "xla")
+    params = flax.core.unfreeze(mod.init(jax.random.PRNGKey(1), x5))
+    params["params"]["proj_out"]["kernel"] = jnp.asarray(
+        rng.randn(c, c) * 0.05, jnp.float32
+    )
+    want = np.asarray(mod.apply(params, x5))
+
+    raw = _motion_raw_params(params, cfg)
+    x4 = x5.reshape(1, t, hw * hw, c)
+    # raw-param XLA reference is exact vs the module (same math)
+    ref = np.asarray(
+        motion_module_reference(x4, raw, cfg, cfg.num_heads)
+    ).reshape(want.shape)
+    np.testing.assert_allclose(ref, want, rtol=1e-6, atol=1e-6)
+
+    got = try_fused_motion_module(
+        x4, raw, heads=cfg.num_heads, cfg=cfg, interpret=True
+    )
+    assert got is not None
+    got = np.asarray(got).reshape(want.shape)
+    denom = np.abs(want).max()
+    np.testing.assert_allclose(got / denom, want / denom, rtol=0, atol=2e-4)
+
+
+def test_fused_motion_module_grads_match_reference(rng):
+    """The custom VJP recomputes through the XLA reference — gradients of
+    the fused op must match the reference's."""
+    import flax
+
+    from video_depth_anything_tpu.config import MotionModuleConfig
+    from video_depth_anything_tpu.models.temporal import TemporalModule
+    from video_depth_anything_tpu.ops.pallas_motion import (
+        fused_motion_module,
+        motion_module_reference,
+    )
+
+    cfg = MotionModuleConfig()
+    c, s, t = 128, 16, 8
+    hw = 4
+    x5 = jnp.asarray(rng.randn(1, t, hw, hw, c) * 0.5, jnp.float32)
+    mod = TemporalModule(cfg, c, "xla")
+    params = flax.core.unfreeze(mod.init(jax.random.PRNGKey(1), x5))
+    params["params"]["proj_out"]["kernel"] = jnp.asarray(
+        rng.randn(c, c) * 0.05, jnp.float32
+    )
+    raw = _motion_raw_params(params, cfg)
+    x4 = x5.reshape(1, t, hw * hw, c)
+
+    def loss_fused(x, p):
+        return jnp.sum(
+            fused_motion_module(x, p, heads=cfg.num_heads, cfg=cfg,
+                                interpret=True) ** 2
+        )
+
+    def loss_ref(x, p):
+        return jnp.sum(
+            motion_module_reference(x, p, cfg, cfg.num_heads) ** 2
+        )
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x4, raw)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x4, raw)
+
+    def close(a, b, msg):
+        # The VJP recompute is exact, but the cotangent entering it is
+        # 2·y_fused vs 2·y_ref — the kernel's ~2e-4 forward deviation
+        # (tanh-vs-erf gelu) propagates through J^T: compare relative to
+        # the gradient's scale.
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / denom, b / denom, rtol=0, atol=2e-3,
+                                   err_msg=msg)
+
+    close(gx_f, gx_r, "dx")
+    for k in gp_f:
+        close(gp_f[k], gp_r[k], k)

@@ -76,10 +76,15 @@ def test_train_step_descends_and_freezes_encoder(rng):
 
 
 @pytest.mark.slow
-def test_overfit_single_batch(rng):
+def test_overfit_single_batch():
     """Proof-of-learning (VERDICT r1 item 9): repeated steps on one
     synthetic batch must drive the SSI+TGM loss far below its initial
-    value — 'learns', not just 'descends for 2 steps'."""
+    value — 'learns', not just 'descends for 2 steps'.
+
+    Uses its OWN seeded rng (not the shared session fixture): the
+    pass/fail margin depends on the sampled frames, so the batch must not
+    shift when tests elsewhere in the suite draw from the session rng."""
+    rng = np.random.RandomState(42)
     model = VDAModel("vits", dtype=jnp.float32)
     params = model.init_params(jax.random.PRNGKey(0))
     trainer = Trainer(

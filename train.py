@@ -45,6 +45,13 @@ def main(argv=None) -> int:
                         "(fits vitl 32x518^2 on a 16 GB chip)")
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="validate every N steps on held-out clips: "
+                        "scale/shift-aligned AbsRel + delta1 in disparity "
+                        "space, logged with the step metrics (0 = off)")
+    p.add_argument("--eval_clips", type=int, default=2,
+                   help="held-out clips for --eval_every (fixed seed, "
+                        "sampled once at startup)")
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--out", default="./checkpoints_out")
     p.add_argument("--resume", action="store_true",
@@ -120,6 +127,60 @@ def main(argv=None) -> int:
 
     from video_depth_anything_tpu.data.clips import Prefetcher
 
+    eval_batches = []
+    eval_fn = None
+    if args.eval_every:
+        # Held-out clips: a differently-seeded sampler, drawn once — long
+        # runs report learning (aligned AbsRel/δ1), not just loss.
+        hold = ClipSampler(
+            datasets, clip_len=args.clip_len, batch_size=1,
+            input_size=args.input_size, seed=10_007,
+        )
+        hold_it = iter(hold)
+        eval_batches = [next(hold_it) for _ in range(args.eval_clips)]
+        eval_fn = jax.jit(
+            lambda p, f: model.module.apply({"params": p}, f)
+        )
+
+    def validate(params):
+        """Scale/shift-aligned AbsRel + δ1 in disparity space (the SSI loss
+        target space) over the held-out clips — the train-time counterpart
+        of the eval harness's per-scene alignment (evals/evaluate.py)."""
+        import numpy as np
+
+        from video_depth_anything_tpu.ops.scale_shift import (
+            compute_scale_and_shift,
+        )
+
+        rels, d1s = [], []
+        for b in eval_batches:
+            pred = np.asarray(
+                eval_fn(params, jnp.asarray(b["frames"], model.dtype)),
+                np.float32,
+            )
+            for i in range(pred.shape[0]):
+                gt = b["disparity"][i]
+                valid = (b["mask"][i] > 0) & (gt > 1e-6)
+                s, t = compute_scale_and_shift(pred[i][valid], gt[valid])
+                pa = np.maximum(pred[i] * s + t, 1e-6)
+                rels.append(
+                    float(np.mean(np.abs(pa[valid] - gt[valid]) / gt[valid]))
+                )
+                ratio = np.maximum(pa[valid] / gt[valid], gt[valid] / pa[valid])
+                d1s.append(float(np.mean(ratio < 1.25)))
+        return {
+            "val_absrel_disp": round(float(np.mean(rels)), 5),
+            "val_delta1_disp": round(float(np.mean(d1s)), 5),
+        }
+
+    log_path = os.path.join(args.out, "train_log.jsonl")
+
+    def log_line(m):
+        line = json.dumps(m)
+        print(line)
+        with open(log_path, "a") as fh:
+            fh.write(line + "\n")
+
     t0 = time.time()
     # Overlap host-side clip sampling (dataset decode + cv2 resizes) with
     # device compute: two batches stay in flight in a background thread.
@@ -132,10 +193,14 @@ def main(argv=None) -> int:
                 state, metrics = trainer.step(state, batch)
         else:
             state, metrics = trainer.step(state, batch)
-        if step % args.log_every == 0 or step == 1:
+        is_log = step % args.log_every == 0 or step == 1
+        is_eval = args.eval_every and step % args.eval_every == 0
+        if is_log or is_eval:
             m = {k: float(v) for k, v in metrics.items()}
             m.update(step=step, sps=round((step - start_step) / (time.time() - t0), 3))
-            print(json.dumps(m))
+            if is_eval:
+                m.update(validate(state.params))
+            log_line(m)
         if step % args.save_every == 0 or step == args.steps:
             trainer.save_state(state_path, state)
             path = os.path.join(args.out, f"step_{step:07d}")

@@ -362,6 +362,9 @@ class TemporalModule(nn.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, h, w, c = x.shape
+        fused = self._try_fused(x)
+        if fused is not None:
+            return fused
         residual = x
         y = self.proj_in(self.norm(x))
         # (B, T, H, W, C) -> (B, T, H*W, C): transpose-free; the attention
@@ -372,6 +375,70 @@ class TemporalModule(nn.Module):
         y = y.reshape(b, t, h, w, self._inner())
         y = self.proj_out(y)
         return y + residual
+
+    def _try_fused(self, x: jnp.ndarray):
+        """Whole-module fused Pallas path (ops/pallas_motion.py): one VMEM
+        program per location block instead of the HBM-materialized
+        GN→proj→attend→FF chain.  Gated to the measured-winning shapes on
+        TPU; ``VDA_FUSED_MOTION=0`` disables, ``=1`` forces (where
+        supported).  Differentiable (VJP recomputes via the XLA reference
+        math)."""
+        import os
+
+        mode = os.environ.get("VDA_FUSED_MOTION", "auto")
+        if mode == "0" or self.is_initializing():
+            return None
+        if self.attn_impl.partition(":")[0] == "xla" and mode != "1":
+            return None
+        if self.channels != self._inner():
+            return None  # inner≠channels would need a projected residual
+        b, t, h, w, c = x.shape
+        d = self._inner() // self.cfg.num_heads
+        if mode != "1" and not (h * w >= 2048 and d <= 64):
+            # dispatch rule from the v5e whole-module A/Bs vs the
+            # production dispatch (scripts/bench_temporal.py --variants
+            # fusedmod + the queue4 sweep, docs/PERFORMANCE.md): the fused
+            # kernel wins at every large-S (74²-class) module — vitl m3
+            # 22.2→15.7, vitb m3 13.1→8.6, vits m3 7.0→4.9 ms — and ties
+            # or loses at the 37²/19² shapes (m2 4.96→5.05, vits m1
+            # 2.56→3.33) and at d=128 (m0 22.3→32.1: the segment-matrix
+            # attend pays 16× FLOP amplification against 8-lane scores).
+            return None
+        try:
+            p = self.variables["params"]
+            blk = p["block_0"]
+            n = self.cfg.num_attention_blocks
+            raw = dict(
+                gn_scale=p["norm"]["scale"], gn_bias=p["norm"]["bias"],
+                w_in=p["proj_in"]["kernel"], b_in=p["proj_in"]["bias"],
+                ln_scale=jnp.stack(
+                    [blk[f"norm_{i}"]["scale"] for i in range(n)]
+                    + [blk["ff_norm"]["scale"]]
+                ),
+                ln_bias=jnp.stack(
+                    [blk[f"norm_{i}"]["bias"] for i in range(n)]
+                    + [blk["ff_norm"]["bias"]]
+                ),
+                wq=jnp.stack([blk[f"attn_{i}"]["to_q"]["kernel"] for i in range(n)]),
+                wk=jnp.stack([blk[f"attn_{i}"]["to_k"]["kernel"] for i in range(n)]),
+                wv=jnp.stack([blk[f"attn_{i}"]["to_v"]["kernel"] for i in range(n)]),
+                wo=jnp.stack([blk[f"attn_{i}"]["to_out"]["kernel"] for i in range(n)]),
+                bo=jnp.stack([blk[f"attn_{i}"]["to_out"]["bias"] for i in range(n)]),
+                w1=blk["ff"]["proj"]["kernel"], b1=blk["ff"]["proj"]["bias"],
+                w2=blk["ff"]["out"]["kernel"], b2=blk["ff"]["out"]["bias"],
+                w_out=p["proj_out"]["kernel"], b_out=p["proj_out"]["bias"],
+            )
+        except KeyError:  # pragma: no cover - restored partial trees
+            return None
+        from video_depth_anything_tpu.ops.pallas_motion import (
+            try_fused_motion_module,
+        )
+
+        out = try_fused_motion_module(
+            x.reshape(b, t, h * w, c), raw, heads=self.cfg.num_heads,
+            cfg=self.cfg,
+        )
+        return None if out is None else out.reshape(x.shape)
 
     def collect(self, x: jnp.ndarray):
         """Full-window forward + KV caches: tuple per transformer block of

@@ -187,6 +187,7 @@ def _tail_kernel(
     # operands
     x_ref,  # (N, H, W, C) bf16 — stays in HBM; rows DMA'd per block
     whl_ref,  # (nchunks, 2·CHUNK, K) bf16 — hi/lo weight split stacked in M
+    wv_ref,  # (1, R+2, U) fp32 — this block's dense vertical-resize matrix
     k1_ref,  # (9, G·C, G·32) bf16 — conv taps (block-diagonal when G>1)
     b1_ref,  # (1, 32) fp32
     k2_ref,  # (1, 32) fp32
@@ -211,6 +212,7 @@ def _tail_kernel(
     chunk_starts,  # static (ostart, 8-aligned istart) per chunk
     k_span,
     ws,
+    vertical_impl,  # "gemm" (one dense MXU pass) | "lerp" (per-row unroll)
 ):
     ni = pl.program_id(0)
     rb = pl.program_id(1)
@@ -263,21 +265,37 @@ def _tail_kernel(
     jax.lax.fori_loop(0, u_rows // rg, hrow, 0)
 
     # -- 2. vertical resize into the conv tile (halo rows zero) -------------
-    # Statically unrolled (NOT a fori_loop): the loop body is a handful of
-    # small ops per row and the sequential fori_loop serializes them; with
-    # the rows unrolled Mosaic can overlap the SMEM index loads, the VMEM
-    # row reads, and the lerp chains across iterations.  (A banded vertical
-    # GEMM would be better still, but rank-3 dot_general operands are
-    # rejected by this toolchain's compile helper.)
-    for i in range(r_blk + 2):
-        o = r0 - 1 + i
-        oc = jnp.clip(o, 0, out_h - 1)
-        a = h2_ref[pl.ds(lo_ref[oc] - us, 1)]
-        b = h2_ref[pl.ds(hi_ref[oc] - us, 1)]
-        rowv = a * w0_ref[oc] + b * w1_ref[oc]
-        valid = jnp.logical_and(o >= 0, o < out_h)
-        rowv = jnp.where(valid, rowv, 0.0)
-        r2_ref[pl.ds(i, 1)] = rowv.astype(r2_ref.dtype)
+    if vertical_impl == "gemm":
+        # One dense MXU pass: r2 = Wv @ H2 with the block's (R+2, U)
+        # vertical weight matrix (2 taps per row, zero halo rows baked in)
+        # against H2 flattened to (U, W2·C) — a minor-dims merge, row-major
+        # free.  Replaces the (R+2)-iteration per-row lerp chain that
+        # dominated the kernel's overhead (~12 ms over the compute floor at
+        # the vitl shape; the fori_loop/unroll forms serialize on the VPU).
+        # Note rank-3 dot_general is rejected by Mosaic — the 2-D flatten
+        # is what makes this expressible.
+        w2c = h2_ref.shape[1]
+        c_ = h2_ref.shape[2]
+        h2_2d = h2_ref[...].reshape(u_rows, w2c * c_)
+        r2 = jax.lax.dot_general(
+            wv_ref[0], h2_2d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        r2_ref[...] = r2.reshape(r_blk + 2, w2c, c_).astype(r2_ref.dtype)
+    else:
+        # Statically unrolled (NOT a fori_loop): the loop body is a handful
+        # of small ops per row and the sequential fori_loop serializes
+        # them; with the rows unrolled Mosaic can overlap the SMEM index
+        # loads, the VMEM row reads, and the lerp chains across iterations.
+        for i in range(r_blk + 2):
+            o = r0 - 1 + i
+            oc = jnp.clip(o, 0, out_h - 1)
+            a = h2_ref[pl.ds(lo_ref[oc] - us, 1)]
+            b = h2_ref[pl.ds(hi_ref[oc] - us, 1)]
+            rowv = a * w0_ref[oc] + b * w1_ref[oc]
+            valid = jnp.logical_and(o >= 0, o < out_h)
+            rowv = jnp.where(valid, rowv, 0.0)
+            r2_ref[pl.ds(i, 1)] = rowv.astype(r2_ref.dtype)
 
     # -- 3+4. conv3×3 → ReLU → conv1×1 → ReLU, in row sub-blocks ------------
     # Sub-blocking bounds the fp32 (·, 32→128-lane-padded) conv temporaries;
@@ -326,7 +344,24 @@ def _tail_kernel(
             o_ref[f, ri : ri + rs] = jnp.maximum(y2, 0)
 
 
-def _launch(x, whl, k1, b1, k2, b2, tables, out_h, out_w, groups, interpret):
+def _vertical_block_matrix(us, u4, in_h, out_h, r_blk):
+    """Dense (nb, r_blk+2, u4) vertical-resize matrices: block rb's matrix
+    maps its DMA'd input-row span (offset ``us[rb]``) to its r_blk output
+    rows + 2 conv-halo rows; out-of-range halo rows are zero rows."""
+    lo, hi, w0, w1 = _vertical_tables(in_h, out_h)
+    nb = len(us)
+    wv = np.zeros((nb, r_blk + 2, u4), np.float32)
+    for rb in range(nb):
+        for i in range(r_blk + 2):
+            o = rb * r_blk - 1 + i
+            if 0 <= o < out_h:
+                wv[rb, i, lo[o] - us[rb]] += w0[o]
+                wv[rb, i, hi[o] - us[rb]] += w1[o]
+    return wv
+
+
+def _launch(x, whl, k1, b1, k2, b2, tables, out_h, out_w, groups, interpret,
+            vertical_impl="gemm"):
     n, h, w, c = x.shape
     w8 = _round_up(w, 8)
     if w8 != w:  # chunk starts are clamped against the padded width
@@ -345,6 +380,7 @@ def _launch(x, whl, k1, b1, k2, b2, tables, out_h, out_w, groups, interpret):
     rg = 4 if cl == 128 and _round_up(u_rows, 4) <= h else 1
     u4 = _round_up(u_rows, rg)
     us = np.minimum(us, h - u4)  # keep the DMA'd span in bounds
+    wv = _vertical_block_matrix(us, u4, h, out_h, r_blk)
 
     kernel = functools.partial(
         _tail_kernel,
@@ -353,7 +389,7 @@ def _launch(x, whl, k1, b1, k2, b2, tables, out_h, out_w, groups, interpret):
         chunk_starts=tuple(
             (int(o), int(s)) for o, s in zip(os_, is_)
         ),
-        k_span=k_span, ws=ws,
+        k_span=k_span, ws=ws, vertical_impl=vertical_impl,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -361,6 +397,7 @@ def _launch(x, whl, k1, b1, k2, b2, tables, out_h, out_w, groups, interpret):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(whl.shape, lambda ni, rb, *_: (0, 0, 0)),
+            pl.BlockSpec((1, r_blk + 2, u4), lambda ni, rb, *_: (rb, 0, 0)),
             pl.BlockSpec(k1.shape, lambda ni, rb, *_: (0, 0, 0)),
             pl.BlockSpec(b1.shape, lambda ni, rb, *_: (0, 0)),
             pl.BlockSpec(k2.shape, lambda ni, rb, *_: (0, 0)),
@@ -391,7 +428,7 @@ def _launch(x, whl, k1, b1, k2, b2, tables, out_h, out_w, groups, interpret):
     )(
         jnp.asarray(us), jnp.asarray(lo), jnp.asarray(hi),
         jnp.asarray(w0), jnp.asarray(w1),
-        x, whl, k1, b1, k2, b2,
+        x, whl, jnp.asarray(wv), k1, b1, k2, b2,
     )
     return out[:, :out_h, :out_w, None]
 
@@ -479,9 +516,17 @@ def _forward(x, k1, b1, k2, b2, out_h, out_w, interpret):
     b2p = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(
         jnp.asarray(b2, jnp.float32).reshape(())
     )
+    import os
+
+    # "lerp" (default): unrolled per-row 2-tap chain.  "gemm": one dense
+    # (R+2, U) MXU pass — measured-and-rejected on v5e (c128 24.6 → 26.8,
+    # c32 16.5 → 17.8 ms): materializing the whole fp32 H2 tile as a GEMM
+    # operand costs more than the row loop it replaces, so the kernel is
+    # NOT row-loop-bound (docs/PERFORMANCE.md round-3 note).
     return _launch(
         x, jnp.asarray(whl), k1p, b1p, k2p, b2p,
         tables, out_h, out_w, groups, interpret,
+        vertical_impl=os.environ.get("VDA_TAIL_VERTICAL", "lerp"),
     )
 
 
