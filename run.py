@@ -134,7 +134,7 @@ def main(argv=None) -> int:
 
     multihost = args.coordinator is not None or (args.num_hosts or 1) > 1
     if multihost:
-        if args.process_single_image or args.data_parallel:
+        if args.process_single_image:
             raise SystemExit(
                 "--coordinator/--num_hosts is sliding-window only "
                 "(windows shard across hosts; streaming is sequential)"
@@ -192,6 +192,7 @@ def main(argv=None) -> int:
         pipe = MultiHostVideoDepthPipeline(
             model, input_size=args.input_size,
             shape_bucket=args.shape_bucket, window_batch=args.window_batch,
+            data_parallel=args.data_parallel,
         )
         t0 = time.time()
         depths, fps = pipe.infer_video_depth(

@@ -155,3 +155,74 @@ def test_two_process_e2e_matches_single(tmp_path):
     got = np.load(os.path.join(multi_dir, "clip_depth.npz"))["depth"]
     assert got.shape == want.shape == (60, 64, 80)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_two_process_dp_e2e_matches_single(tmp_path):
+    """Two-level parallelism e2e: 2 processes × 2 local CPU devices each
+    (4 global), every host sharding its windows over its own local-device
+    mesh (--data_parallel inside --num_hosts) — stitched output must equal
+    the single-process pipeline within float tolerance (the DP window
+    forward batches windows differently, so bit-equality is not the
+    contract here; the single-host multihost e2e test pins that)."""
+    import numpy as np
+
+    from video_depth_anything_tpu.io.video import save_video
+
+    rng = np.random.RandomState(11)
+    base = (rng.rand(60, 48, 64, 3) * 255).astype(np.uint8)
+    video = str(tmp_path / "clip.mp4")
+    save_video(base, video, fps=24)
+
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        VDA_NATIVE_DECODE="0",
+        VDA_NATIVE_PREPROC="0",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    common = [
+        sys.executable, "run.py", "--input_video", video,
+        "--encoder", "vits", "--random_init", "--fp32",
+        "--input_size", "112", "--save_npz",
+    ]
+
+    single_dir = str(tmp_path / "single")
+    r = subprocess.run(
+        common + ["--output_dir", single_dir, "--window_batch", "1"],
+        env=env, cwd=root, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    port = _free_port()
+    multi_dir = str(tmp_path / "multi")
+    procs = [
+        subprocess.Popen(
+            common + [
+                "--output_dir", multi_dir, "--data_parallel",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num_hosts", "2", "--host_id", str(i),
+            ],
+            env=env, cwd=root,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail(f"multi-host DP run hung; partial output: {outs}")
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {i} failed:\n{out}"
+
+    want = np.load(os.path.join(single_dir, "clip_depth.npz"))["depth"]
+    got = np.load(os.path.join(multi_dir, "clip_depth.npz"))["depth"]
+    assert got.shape == want.shape == (60, 48, 64)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

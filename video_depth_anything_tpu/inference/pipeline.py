@@ -203,22 +203,21 @@ class VideoDepthPipeline:
 
         return pre, wait_until
 
-    def infer_video_depth(
+    def compute_window_depths(
         self,
-        frames: np.ndarray,
-        target_fps: float = -1,
+        pre: np.ndarray,
+        idx: np.ndarray,
+        fh: int,
+        fw: int,
         skip_tmp_block: bool = False,
         progress: bool = False,
-    ) -> Tuple[np.ndarray, float]:
-        """uint8 RGB ``(N, H, W, 3)`` → (depth ``(N, H, W)`` fp32, fps)."""
-        org_len, fh, fw = frames.shape[:3]
-        pad_len = padded_length(org_len)
-        idx = window_frame_indices(org_len)
-
-        pre, wait_until = self._preprocess_pipelined(
-            frames, pad_len, self._target_hw(fh, fw)
-        )
-
+        wait_until=None,
+        desc: str = "windows",
+    ) -> List[np.ndarray]:
+        """Run the window forwards for ``idx (n, INFER_LEN)`` over the
+        preprocessed frames and return the n per-window depth maps at
+        (fh, fw).  Shared by the single-host, multi-host, and (overridden)
+        data-parallel paths."""
         # Batch `window_batch` windows per device program (they are
         # independent model calls — see module docstring); the last chunk
         # pads by repeating the final window so one compiled program covers
@@ -235,7 +234,7 @@ class VideoDepthPipeline:
         if progress:
             from tqdm import tqdm
 
-            it = tqdm(it, desc=f"windows (x{wb})")
+            it = tqdm(it, desc=f"{desc} (x{wb})")
 
         # one-chunk lag between dispatch and D2H so the (large) depth
         # transfer of chunk c overlaps the compute of chunk c+1 — the
@@ -252,7 +251,8 @@ class VideoDepthPipeline:
         pending = None
         for s in it:
             chunk = idxp[s : s + wb]
-            wait_until(int(chunk.max()) + 1)
+            if wait_until is not None:
+                wait_until(int(chunk.max()) + 1)
             x = jnp.asarray(pre[chunk], dtype=self.model.dtype)
             d = self._window_fn(
                 self.model.params, x, fh, fw, skip_tmp_block=skip_tmp_block
@@ -265,5 +265,25 @@ class VideoDepthPipeline:
             pending = start_host_transfer(d)
         if pending is not None:
             drain(pending)
+        return window_depths[:n_win]
 
-        return stitch_windows(window_depths[:n_win], org_len), target_fps
+    def infer_video_depth(
+        self,
+        frames: np.ndarray,
+        target_fps: float = -1,
+        skip_tmp_block: bool = False,
+        progress: bool = False,
+    ) -> Tuple[np.ndarray, float]:
+        """uint8 RGB ``(N, H, W, 3)`` → (depth ``(N, H, W)`` fp32, fps)."""
+        org_len, fh, fw = frames.shape[:3]
+        pad_len = padded_length(org_len)
+        idx = window_frame_indices(org_len)
+
+        pre, wait_until = self._preprocess_pipelined(
+            frames, pad_len, self._target_hw(fh, fw)
+        )
+        window_depths = self.compute_window_depths(
+            pre, idx, fh, fw, skip_tmp_block=skip_tmp_block,
+            progress=progress, wait_until=wait_until,
+        )
+        return stitch_windows(window_depths, org_len), target_fps

@@ -77,24 +77,19 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
 
         return fwd
 
-    def infer_video_depth(
+    def compute_window_depths(
         self,
-        frames: np.ndarray,
-        target_fps: float = -1,
+        pre: np.ndarray,
+        idx: np.ndarray,
+        fh: int,
+        fw: int,
         skip_tmp_block: bool = False,
         progress: bool = False,
-    ) -> Tuple[np.ndarray, float]:
-        org_len, fh, fw = frames.shape[:3]
-        pad_len = padded_length(org_len)
-        idx = window_frame_indices(org_len)
+        wait_until=None,
+        desc: str = "window batches",
+    ) -> List[np.ndarray]:
         n_win = idx.shape[0]
         n_data = self.mesh.shape["data"]
-
-        pre = preprocess_frames(frames, self.input_size, self._target_hw(fh, fw))
-        if pad_len > org_len:
-            pre = np.concatenate(
-                [pre, np.repeat(pre[-1:], pad_len - org_len, axis=0)], axis=0
-            )
 
         # Round the window batch up to the data-axis size (duplicate last) and
         # process one mesh-row of windows per step to bound device memory.
@@ -105,7 +100,7 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
         if progress:
             from tqdm import tqdm
 
-            it = tqdm(it, desc=f"window batches x{n_data}")
+            it = tqdm(it, desc=f"{desc} x{n_data}")
 
         import os
 
@@ -119,6 +114,8 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
         window_depths: List[np.ndarray] = []
         for start in it:
             chunk_idx = idx_padded[start : start + n_data]
+            if wait_until is not None:
+                wait_until(int(chunk_idx.max()) + 1)
             xs = (
                 gather_windows_native(pre, chunk_idx) if use_native_gather else None
             )
@@ -132,4 +129,25 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
                 self._sharded_params, xs, fh, fw, skip_tmp_block=skip_tmp_block
             )
             window_depths.extend(np.asarray(depth))
-        return stitch_windows(window_depths[:n_win], org_len), target_fps
+        return window_depths[:n_win]
+
+    def infer_video_depth(
+        self,
+        frames: np.ndarray,
+        target_fps: float = -1,
+        skip_tmp_block: bool = False,
+        progress: bool = False,
+    ) -> Tuple[np.ndarray, float]:
+        org_len, fh, fw = frames.shape[:3]
+        pad_len = padded_length(org_len)
+        idx = window_frame_indices(org_len)
+
+        pre = preprocess_frames(frames, self.input_size, self._target_hw(fh, fw))
+        if pad_len > org_len:
+            pre = np.concatenate(
+                [pre, np.repeat(pre[-1:], pad_len - org_len, axis=0)], axis=0
+            )
+        window_depths = self.compute_window_depths(
+            pre, idx, fh, fw, skip_tmp_block=skip_tmp_block, progress=progress
+        )
+        return stitch_windows(window_depths, org_len), target_fps

@@ -118,17 +118,33 @@ class MultiHostVideoDepthPipeline:
         window_batch=None,
         process_id: Optional[int] = None,
         num_processes: Optional[int] = None,
+        data_parallel: bool = False,
     ):
+        """``data_parallel``: shard each host's windows over its own
+        chips (a mesh of ``jax.local_devices()`` — the two-level layout of
+        a real pod: windows over DCN hosts, then over each host's local
+        ICI domain)."""
         import jax
 
         from video_depth_anything_tpu.inference.pipeline import (
             VideoDepthPipeline,
         )
 
-        self._local = VideoDepthPipeline(
-            model, input_size, shape_bucket=shape_bucket,
-            window_batch=window_batch,
-        )
+        if data_parallel and len(jax.local_devices()) > 1:
+            from video_depth_anything_tpu.parallel.data_parallel import (
+                DataParallelVideoDepthPipeline,
+            )
+            from video_depth_anything_tpu.parallel.mesh import create_mesh
+
+            self._local = DataParallelVideoDepthPipeline(
+                model, input_size, shape_bucket=shape_bucket,
+                mesh=create_mesh(devices=jax.local_devices()),
+            )
+        else:
+            self._local = VideoDepthPipeline(
+                model, input_size, shape_bucket=shape_bucket,
+                window_batch=window_batch,
+            )
         self.model = model
         self.input_size = input_size
         self.pid = jax.process_index() if process_id is None else process_id
@@ -186,30 +202,16 @@ class MultiHostVideoDepthPipeline:
                 + [pre[-1:]] * (span.frame_stop - span.frame_start - len(frames))
             )
 
-        # -- local window forwards (same jit program as single-host) --------
+        # -- local window forwards (same jit program as single-host; DP
+        # variant shards them over this host's own devices) -----------------
         local_depths = []
         if span.window_stop > span.window_start:
-            wb = self._local.window_batch
             local_idx = idx[span.window_start : span.window_stop] - span.frame_start
-            n_local = len(local_idx)
-            if n_local % wb:
-                local_idx = np.concatenate(
-                    [local_idx, np.repeat(local_idx[-1:], (-n_local) % wb, axis=0)]
-                )
-            it = range(0, len(local_idx), wb)
-            if progress and self.pid == 0:
-                from tqdm import tqdm
-
-                it = tqdm(it, desc=f"host 0/{self.n_hosts} windows (x{wb})")
-            for s in it:
-                chunk = local_idx[s : s + wb]
-                x = jnp.asarray(pre[chunk], dtype=self.model.dtype)
-                d = self._local._window_fn(
-                    self.model.params, x, fh, fw,
-                    skip_tmp_block=skip_tmp_block,
-                )
-                local_depths.extend(np.asarray(d))
-            local_depths = local_depths[:n_local]
+            local_depths = self._local.compute_window_depths(
+                pre, local_idx, fh, fw, skip_tmp_block=skip_tmp_block,
+                progress=progress and self.pid == 0,
+                desc=f"host {self.pid}/{self.n_hosts} windows",
+            )
 
         # -- one DCN exchange: (n_hosts, max_local, T, fh, fw) fp32 ---------
         from video_depth_anything_tpu.config import INFER_LEN
