@@ -370,11 +370,28 @@ class TemporalModule(nn.Module):
         # (B, T, H, W, C) -> (B, T, H*W, C): transpose-free; the attention
         # einsums contract over the frame axis in place.
         y = y.reshape(b, t, h * w, self._inner())
+        if self._layout_barrier(h * w, self._inner()):
+            # Stop XLA from fusing proj_in into the attention graph: with
+            # the full graph visible it picks a pathological layout for the
+            # projection output at these shapes — the barrier alone is
+            # worth −5.4 ms on vitl m0 (22.2 → 16.8; round-3 sweep,
+            # docs/PERFORMANCE.md "optimization_barrier").  Numerically an
+            # identity.
+            y = jax.lax.optimization_barrier(y)
         for i in range(self.cfg.num_transformer_blocks):
             y = getattr(self, f"block_{i}")(y)
         y = y.reshape(b, t, h, w, self._inner())
         y = self.proj_out(y)
         return y + residual
+
+    @staticmethod
+    def _layout_barrier(s: int, c: int) -> bool:
+        """Empirical v5e rule from the round-3 barrier sweep (base →
+        barrier ms): wins at every 19²-class module (1024: 5.7→4.9, 384:
+        4.3→2.9, 768: 4.4→3.9) and the wide/tiny-head 37² modules (1024:
+        22.2→16.8, 192: 6.1→5.3); LOSES at 37² mid widths (256: 4.9→7.8,
+        384: 8.8→9.2, 64: 3.0→4.0)."""
+        return s <= 512 or c >= 1024 or (c == 192 and s >= 1024)
 
     def _try_fused(self, x: jnp.ndarray):
         """Whole-module fused Pallas path (ops/pallas_motion.py): one VMEM
