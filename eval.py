@@ -62,7 +62,9 @@ def main(argv=None) -> int:
     p.add_argument("--kv_cache", action="store_true",
                    help="with --streaming: KV-cache streaming mode (O(1) "
                         "work per frame; extension beyond the reference — "
-                        "see run.py --kv_cache)")
+                        "see run.py --kv_cache).  Combines with "
+                        "--align_each_new_frame (on-device pinned-anchor "
+                        "realignment)")
     p.add_argument("--data_parallel", action="store_true")
     args = p.parse_args(argv)
 
@@ -111,6 +113,7 @@ def main(argv=None) -> int:
                 model,
                 input_size=args.input_size,
                 inference_length=args.inference_length,
+                align_each_new_frame=args.align_each_new_frame,
             ),
             args.skip_tmp_block,
         )
