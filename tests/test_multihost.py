@@ -226,3 +226,38 @@ def test_two_process_dp_e2e_matches_single(tmp_path):
     got = np.load(os.path.join(multi_dir, "clip_depth.npz"))["depth"]
     assert got.shape == want.shape == (60, 48, 64)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ranged_decode_matches_full_decode(tmp_path):
+    """read_video_frame_range(a, b) must equal read_video_frames()[a:b]
+    bit-for-bit (seek-verified or grab-skip path), and count_video_frames
+    must agree with the actual decoded count — the multi-host spans are
+    computed from it before any host decodes."""
+    import numpy as np
+
+    from video_depth_anything_tpu.io.video import (
+        count_video_frames,
+        read_video_frame_range,
+        read_video_frames,
+        save_video,
+    )
+
+    rng = np.random.RandomState(5)
+    base = (rng.rand(37, 32, 48, 3) * 255).astype(np.uint8)
+    video = str(tmp_path / "v.mp4")
+    save_video(base, video, fps=24)
+
+    os.environ["VDA_NATIVE_DECODE"] = "0"
+    try:
+        full, fps = read_video_frames(video)
+        n, fps2 = count_video_frames(video)
+        assert n == len(full) == 37 and fps == fps2
+        for a, b in ((0, 5), (10, 25), (30, 37)):
+            got = read_video_frame_range(video, a, b)
+            np.testing.assert_array_equal(got, full[a:b])
+        # fps striding: every 2nd frame
+        strided, _ = read_video_frames(video, target_fps=12)
+        got = read_video_frame_range(video, 3, 9, target_fps=12)
+        np.testing.assert_array_equal(got, strided[3:9])
+    finally:
+        os.environ.pop("VDA_NATIVE_DECODE", None)
