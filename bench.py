@@ -22,6 +22,26 @@ import numpy as np
 BASELINE_FPS_A100_FP16_SMALL = 1000.0 / 7.5 * 1.0  # per-frame ms -> frames/s
 
 
+def _mem() -> dict:
+    """Device-memory snapshot (MB) for the bench row being finished.
+
+    ``peak_mb`` is the process-cumulative high-water mark (the backend has
+    no per-region reset), so a row's peak is max-so-far across the configs
+    run before it — the FIRST row of each model size is the faithful
+    README-VRAM-table analogue (``/root/reference/README.md:49-57``);
+    ``in_use_mb`` is live bytes right after the config's buffers drop."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return {
+            "in_use_mb": round(stats.get("bytes_in_use", 0) / 2**20, 1),
+            "peak_mb": round(stats.get("peak_bytes_in_use", 0) / 2**20, 1),
+        }
+    except Exception:  # pragma: no cover - backend without memory_stats
+        return {}
+
+
 def bench_window(encoder: str = "vits", size: int = 518, frames: int = 32,
                  iters: int = 10, warmup: int = 3, batch: int = 1,
                  attn_impl: str = "auto") -> dict:
@@ -72,6 +92,7 @@ def bench_window(encoder: str = "vits", size: int = 518, frames: int = 32,
         "median_window_s": round(med, 4),
         "frames_per_s": round(total / med, 2),
         "ms_per_frame": round(1000.0 * med / total, 3),
+        "mem": _mem(),
     }
 
 
@@ -144,14 +165,22 @@ def bench_streaming(encoder: str = "vits", size: int = 518,
         "compile_s": round(compile_s, 2),
         "median_step_s": round(med, 4),
         "frames_per_s": round(1.0 / med, 2),
+        "mem": _mem(),
     }
 
 
 def bench_kv_streaming(encoder: str = "vits", size: int = 518,
-                       iters: int = 20, warmup: int = 3) -> dict:
+                       iters: int = 20, warmup: int = 3, chunk: int = 1,
+                       aligned: bool = False) -> dict:
     """Steady-state KV-cache streaming step (O(1)-per-frame mode): encoder
     (1 frame) + single-query motion attention over the ring caches +
-    1-frame refinenets, one fused program per frame."""
+    1-frame refinenets, one fused program per frame.
+
+    ``chunk`` > 1 measures the chunked program (batched encoder +
+    ``lax.scan`` over K head steps in ONE dispatch — the fix for the mode
+    being dispatch-bound e2e, round-3 verdict item 1).  ``aligned``
+    measures the per-frame on-device realignment variant (anchor
+    re-predicted each step + in-jit (s, t) fit)."""
     import jax
     import jax.numpy as jnp
 
@@ -162,7 +191,9 @@ def bench_kv_streaming(encoder: str = "vits", size: int = 518,
 
     model = VDAModel(encoder, dtype=jnp.bfloat16)
     model.init_params(jax.random.PRNGKey(0))
-    pipe = KVStreamingPipeline(model)
+    pipe = KVStreamingPipeline(
+        model, align_each_new_frame=aligned, stream_chunk=chunk
+    )
     params = model.params
 
     x_warm = jax.device_put(
@@ -170,28 +201,59 @@ def bench_kv_streaming(encoder: str = "vits", size: int = 518,
             np.random.randn(1, pipe.L, size, size, 3), dtype=model.dtype
         )
     )
-    _, caches = pipe._start_fn(params, x_warm, out_hw=(size, size))
+    depth0, caches = pipe._start_fn(
+        params, x_warm, out_hw=(size, size), pin_anchor=aligned
+    )
     x = jax.device_put(
-        jnp.asarray(np.random.randn(1, size, size, 3), dtype=model.dtype)
+        jnp.asarray(
+            np.random.randn(max(chunk, 1), size, size, 3), dtype=model.dtype
+        )
     )
 
+    if aligned:
+        anchor_levels = pipe._levels_fn(params, x_warm[0, :1])
+        ref_anchor = depth0[0, 0]
+        if chunk > 1:
+            def step(caches):
+                d, c = pipe._aligned_chunk_step_fn(
+                    params, x, caches, anchor_levels, ref_anchor,
+                    out_hw=(size, size),
+                )
+                return d, c
+        else:
+            def step(caches):
+                d, c, _, _ = pipe._aligned_step_fn(
+                    params, x, caches, anchor_levels, ref_anchor,
+                    out_hw=(size, size),
+                )
+                return d, c
+    elif chunk > 1:
+        def step(caches):
+            return pipe._chunk_step_fn(params, x, caches, out_hw=(size, size))
+    else:
+        def step(caches):
+            return pipe._step_fn(params, x, caches, out_hw=(size, size))
+
     t0 = time.time()
-    depth, caches = pipe._step_fn(params, x, caches, out_hw=(size, size))
+    depth, caches = step(caches)
     compile_s = time.time() - t0
     for _ in range(warmup):
-        depth, caches = pipe._step_fn(params, x, caches, out_hw=(size, size))
+        depth, caches = step(caches)
     float(jnp.sum(depth[0, :2, :2]))
     t0 = time.time()
     for _ in range(iters):
-        depth, caches = pipe._step_fn(params, x, caches, out_hw=(size, size))
+        depth, caches = step(caches)
     float(jnp.sum(depth[0, :2, :2]))
-    med = (time.time() - t0) / iters
+    med = (time.time() - t0) / iters / max(chunk, 1)
     return {
         "encoder": encoder,
         "size": size,
+        "chunk": chunk,
+        "aligned": aligned,
         "compile_s": round(compile_s, 2),
         "median_step_s": round(med, 4),
         "frames_per_s": round(1.0 / med, 2),
+        "mem": _mem(),
     }
 
 
@@ -244,6 +306,7 @@ def bench_data_parallel(encoder: str = "vits", size: int = 518,
         "compile_s": round(compile_s, 2),
         "frames_per_s_total": round(total_frames / med, 2),
         "frames_per_s_per_chip": round(total_frames / med / n_dev, 2),
+        "mem": _mem(),
     }
 
 
@@ -259,11 +322,22 @@ def main() -> int:
         for key, fn in (
             ("vits_wb4", lambda: bench_window("vits", batch=4)),
             ("vitb", lambda: bench_window("vitb")),
+            ("vitb_wb4", lambda: bench_window("vitb", batch=4)),
             ("vitl", lambda: bench_window("vitl")),
             ("vitl_fast", lambda: bench_window("vitl", attn_impl="auto:fast")),
             ("streaming_vits", lambda: bench_streaming("vits", chunk=1)),
             ("streaming_vits_chunked", lambda: bench_streaming("vits")),
             ("kv_streaming_vits", lambda: bench_kv_streaming("vits")),
+            ("kv_streaming_vits_chunked",
+             lambda: bench_kv_streaming("vits", chunk=8)),
+            ("kv_streaming_vits_aligned",
+             lambda: bench_kv_streaming("vits", aligned=True)),
+            ("kv_streaming_vits_aligned_chunked",
+             lambda: bench_kv_streaming("vits", aligned=True, chunk=8)),
+            ("kv_streaming_vitb", lambda: bench_kv_streaming("vitb")),
+            ("kv_streaming_vitl", lambda: bench_kv_streaming("vitl")),
+            ("kv_streaming_vitl_chunked",
+             lambda: bench_kv_streaming("vitl", chunk=8)),
             ("dp_vits", lambda: bench_data_parallel("vits")),
         ):
             try:

@@ -114,6 +114,7 @@ def main(argv=None) -> int:
                 input_size=args.input_size,
                 inference_length=args.inference_length,
                 align_each_new_frame=args.align_each_new_frame,
+                stream_chunk=args.stream_chunk,
             ),
             args.skip_tmp_block,
         )

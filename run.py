@@ -97,7 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(jax.distributed.initialize); env VDA_COORDINATOR")
     p.add_argument("--num_hosts", type=int,
                    default=int(os.environ.get("VDA_NUM_HOSTS", "0")) or None,
-                   help="multi-host: total process count; env VDA_NUM_HOSTS")
+                   help="multi-host: total process count; env VDA_NUM_HOSTS. "
+                        "Window spans are partitioned from the container's "
+                        "frame-count header before any decode — for VFR or "
+                        "estimated-header containers set "
+                        "VDA_VALIDATE_FRAME_COUNT=1 (fail fast on bad "
+                        "headers) and VDA_SEEK_MODE=grab (frame-exact "
+                        "range seeks)")
     p.add_argument("--host_id", type=int,
                    default=(int(os.environ["VDA_HOST_ID"])
                             if "VDA_HOST_ID" in os.environ else None),
@@ -193,6 +199,7 @@ def main(argv=None) -> int:
             model, input_size=args.input_size,
             shape_bucket=args.shape_bucket, window_batch=args.window_batch,
             data_parallel=args.data_parallel,
+            model_parallel=args.model_parallel,
         )
         t0 = time.time()
         depths, fps = pipe.infer_video_depth(
@@ -233,6 +240,7 @@ def main(argv=None) -> int:
             input_size=args.input_size,
             inference_length=args.inference_length,
             align_each_new_frame=args.align_each_new_frame,
+            stream_chunk=args.stream_chunk,
         )
         depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
     elif args.process_single_image:

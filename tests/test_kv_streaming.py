@@ -167,6 +167,42 @@ def _drift_scene(n, h=36, w=44):
     ).astype(np.uint8)
 
 
+@pytest.mark.parametrize("align", [False, True])
+def test_chunked_matches_per_frame(rng, align):
+    """stream_chunk=K runs K steady steps per dispatch (batched encoder +
+    lax.scan over the cache-sequential head) — identical math to K
+    per-frame steps.  Randomized motion proj_out makes the caches
+    load-bearing; any cache-threading or APE-slot error in the scan body
+    breaks this."""
+    model = _make_model()
+    _randomize_motion(model)
+    frames = _frames(rng, 14)
+    per_frame = KVStreamingPipeline(
+        model, input_size=28, inference_length=4, align_each_new_frame=align
+    )
+    want, _ = per_frame.infer(frames)
+    chunked = KVStreamingPipeline(
+        model, input_size=28, inference_length=4, align_each_new_frame=align,
+        stream_chunk=4,
+    )
+    got, _ = chunked.infer(frames)
+    assert got.shape == want.shape == (14, 36, 44)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_handles_remainder_frames(rng):
+    """A frame count that is not a multiple of the chunk falls back to the
+    per-frame step for the tail; every frame still gets a depth."""
+    model = _make_model()
+    frames = _frames(rng, 11)  # warmup 4 + 4-chunk + 3 remainder
+    pipe = KVStreamingPipeline(
+        model, input_size=28, inference_length=4, stream_chunk=4
+    )
+    got, _ = pipe.infer(frames)
+    assert got.shape == (11, 36, 44)
+    assert np.isfinite(got).all()
+
+
 @pytest.mark.slow
 def test_kv_drift_bounded_over_long_video(rng):
     """Drift bound for the O(1) mode (round-3 verdict item): over a

@@ -116,6 +116,42 @@ def test_chunked_steady_state_matches_per_frame(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
 
 
+def test_device_align_matches_host_fit(rng, monkeypatch):
+    """The steady-state aligned step with the (s, t) fit ON DEVICE
+    (``_aligned_steady_fn`` + the emitted-depth ring) must reproduce the
+    host-fit chain (``VDA_DEVICE_ALIGN=0``) — same math: the ring holds
+    exactly ``depth_list[abs_pred_idx]`` by the slot-mirroring
+    construction.  Long enough video that the steady phase (frame
+    L+max_kf on) dominates; motion proj_out randomized so the cache and
+    the alignment are both load-bearing."""
+    import flax
+
+    model = VDAModel("vits", dtype=jnp.float32)
+    model.init_params(__import__("jax").random.PRNGKey(5))
+    params = flax.core.unfreeze(model.params)
+    prng = np.random.RandomState(9)
+    for name in ("motion_0", "motion_1", "motion_2", "motion_3"):
+        k = params["head"][name]["proj_out"]["kernel"]
+        params["head"][name]["proj_out"]["kernel"] = 0.02 * jnp.asarray(
+            prng.randn(*k.shape), jnp.float32
+        )
+    model.params = params
+
+    frames = (rng.rand(24, 36, 44, 3) * 255).astype(np.uint8)
+    kwargs = dict(
+        input_size=28, inference_length=6, keyframe_list=(2,),
+        align_each_new_frame=True,
+    )
+    # steady_from = L + max_kf = 8 → frames 8..23 take the steady path
+    monkeypatch.setenv("VDA_DEVICE_ALIGN", "0")
+    want, _ = StreamingDepthPipeline(model, **kwargs).infer(frames)
+    monkeypatch.delenv("VDA_DEVICE_ALIGN")
+    got, _ = StreamingDepthPipeline(model, **kwargs).infer(frames)
+
+    assert got.shape == want.shape == (23, 36, 44)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_chunk_clamped_to_unique_write_slots():
     """chunk_size > cache_len−2 must be clamped: past that bound the freed
     physical slots repeat within one chunk and ``cache.at[slots].set`` with

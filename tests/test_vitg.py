@@ -41,6 +41,89 @@ def test_swiglu_matches_reference(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_vitg_converter_roundtrip_tiny(rng):
+    """The SwiGLU (w12/w3) branch of the checkpoint converter, executed
+    both ways strict at toy dims (round-3 verdict item 8: the one
+    converter path that had never run).  A torch reference
+    VideoDepthAnything is built with a vitg-SHAPED encoder (SwiGLU FFN,
+    ``ffn_layer="swiglufused"`` — ``dinov2_layers/swiglu_ffn.py:13-63``)
+    at embed_dim 64 / depth 4; convert → export must load strict=True
+    into a fresh reference model and preserve its forward bit-for-bit."""
+    import dataclasses
+    import sys
+
+    _install_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    import video_depth_anything.video_depth as vd
+    from video_depth_anything.dinov2 import DinoVisionTransformer
+
+    def tiny_giant(model_name):
+        assert model_name == "vitg"
+        from functools import partial
+
+        from video_depth_anything.dinov2_layers import (
+            MemEffAttention,
+            NestedTensorBlock as Block,
+        )
+
+        return DinoVisionTransformer(
+            img_size=518, patch_size=14, embed_dim=64, depth=4, num_heads=2,
+            mlp_ratio=4, block_fn=partial(Block, attn_class=MemEffAttention),
+            ffn_layer="swiglufused", init_values=1.0, block_chunks=0,
+            num_register_tokens=0, interpolate_antialias=False,
+            interpolate_offset=0.1,
+        )
+
+    orig = vd.DINOv2
+    try:
+        vd.DINOv2 = tiny_giant
+        torch.manual_seed(0)
+        model = vd.VideoDepthAnything(
+            encoder="vitg", features=32, out_channels=[32, 32, 64, 64],
+            num_frames=4,
+        ).eval()
+        model.intermediate_layer_idx["vitg"] = [0, 1, 2, 3]
+        torch.manual_seed(1)
+        model2 = vd.VideoDepthAnything(
+            encoder="vitg", features=32, out_channels=[32, 32, 64, 64],
+            num_frames=4,
+        ).eval()
+        model2.intermediate_layer_idx["vitg"] = [0, 1, 2, 3]
+    finally:
+        vd.DINOv2 = orig
+
+    from video_depth_anything_tpu.io.checkpoint import (
+        convert_torch_state_dict,
+        export_torch_state_dict,
+    )
+
+    base = get_model_config("vitg", num_frames=4)
+    cfg = dataclasses.replace(
+        base,
+        vit=dataclasses.replace(
+            base.vit, embed_dim=64, depth=4, num_heads=2
+        ),
+        features=32,
+        out_channels=(32, 32, 64, 64),
+        intermediate_layer_idx=(0, 1, 2, 3),
+    )
+
+    state = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    params = convert_torch_state_dict(state, cfg)  # strict: unconsumed raise
+    assert "w12" in params["pretrained"]["block_0"]["mlp"]
+    back = export_torch_state_dict(params, cfg)
+    model2.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in back.items()}, strict=True
+    )
+
+    x = torch.from_numpy(rng.randn(1, 2, 3, 56, 56).astype(np.float32))
+    with torch.no_grad():
+        a = model.forward(x).numpy()
+        b = model2.forward(x).numpy()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_vitg_config_and_tiny_swiglu_forward():
     cfg = get_model_config("vitg")
     assert cfg.vit.ffn_layer == "swiglufused"

@@ -36,6 +36,10 @@ def main(argv=None) -> int:
                    help="cosine decay horizon after warmup (0 = none)")
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient-accumulation micro-batches per update")
+    p.add_argument("--augment", action="store_true",
+                   help="per-clip geometric (hflip, scaled crop) + "
+                        "photometric (brightness/contrast/color, frames "
+                        "only) augmentation (data/augment.py)")
     p.add_argument("--train_encoder", action="store_true")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the data mesh axis "
@@ -75,11 +79,17 @@ def main(argv=None) -> int:
     datasets = [
         get_dataset(name, root) for name, root in zip(args.dataset, args.root)
     ]
+    augment = None
+    if args.augment:
+        from video_depth_anything_tpu.data.augment import AugmentConfig
+
+        augment = AugmentConfig()
     sampler = ClipSampler(
         datasets,
         clip_len=args.clip_len,
         batch_size=args.batch_size,
         input_size=args.input_size,
+        augment=augment,
     )
 
     import dataclasses

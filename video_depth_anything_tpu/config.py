@@ -157,6 +157,9 @@ def get_model_config(encoder: str, num_frames: int = 32) -> ModelConfig:
         out_channels=tuple(cfg["out_channels"]),
         intermediate_layer_idx=tuple(cfg["intermediate_layer_idx"]),
         num_frames=num_frames,
+        # the reference sizes the APE table to the window length
+        # (dpt_temporal.py:35-40, temporal_max_len=num_frames)
+        motion=MotionModuleConfig(temporal_max_len=num_frames),
     )
 
 

@@ -71,11 +71,17 @@ class ClipSampler:
         batch_size: int = 1,
         input_size: int = 518,
         seed: int = 0,
+        augment=None,
     ):
+        """``augment``: an ``augment.AugmentConfig`` enables per-clip
+        geometric + photometric augmentation (disparity/mask move with the
+        frames; ``data/augment.py`` — fills the reference's stub,
+        ``datasets/utils.py:51-52``)."""
         self.datasets = list(datasets)
         self.clip_len = clip_len
         self.batch_size = batch_size
         self.input_size = input_size
+        self.augment = augment
         self.rng = np.random.RandomState(seed)
         self._index = [
             (d, s) for d, ds in enumerate(self.datasets) for s in range(len(ds))
@@ -97,14 +103,19 @@ class ClipSampler:
         rgb = frames[ids]
         if rgb.dtype != np.uint8:
             rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        depth = np.asarray(scene["depth"][ids], np.float32)
+        valid = np.asarray(scene["valid_depth"][ids]).astype(np.float32)
+        if self.augment is not None:
+            from video_depth_anything_tpu.data.augment import augment_clip
+
+            rgb, depth, valid, _ = augment_clip(
+                rgb, depth, valid, self.rng, self.augment
+            )
         # square model resolution regardless of scene aspect ratio, so clips
         # from datasets of different resolutions batch together
         side = round(self.input_size / 14) * 14
         x = preprocess_frames(rgb, self.input_size, target_hw=(side, side))
         h, w = x.shape[1:3]
-
-        depth = np.asarray(scene["depth"][ids], np.float32)
-        valid = np.asarray(scene["valid_depth"][ids]).astype(np.float32)
         gt_h, gt_w = depth.shape[1:]
         if (gt_h, gt_w) != (h, w):
             depth = np.stack(

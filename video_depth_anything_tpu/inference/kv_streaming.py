@@ -59,11 +59,18 @@ class KVStreamingPipeline:
         input_size: int = 518,
         inference_length: int = 32,
         align_each_new_frame: bool = False,
+        stream_chunk: int = 1,
     ):
         self.model = model
         self.input_size = input_size
         self.L = inference_length
         self.align = align_each_new_frame
+        # K steady frames per dispatch: encoder batched over the chunk, the
+        # cache-sequential head scanned K steps inside ONE program
+        # (lax.scan) — same math as K per-frame steps at 1/K the dispatch
+        # overhead.  The per-frame KV step is dispatch-bound e2e (~28 ms
+        # host roundtrip vs a ~6 ms device step, docs/PERFORMANCE.md).
+        self.chunk = max(1, int(stream_chunk))
 
     @functools.cached_property
     def _start_fn(self):
@@ -160,6 +167,86 @@ class KVStreamingPipeline:
 
         return step
 
+    @functools.cached_property
+    def _chunk_step_fn(self):
+        """K steady KV steps in one device program: batched encoder +
+        ``lax.scan`` over the cache-sequential head steps.  Identical math
+        to K ``_step_fn`` calls (pinned by
+        ``tests/test_kv_streaming.py::test_chunked_matches_per_frame``)."""
+        module = self.model.module
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("skip_tmp_block", "out_hw"),
+            donate_argnums=(2,),
+        )
+        def chunk_step(params, xs, caches, skip_tmp_block=False, out_hw=None):
+            levels = module.apply(
+                {"params": params}, xs, method="encode_level_features"
+            )
+
+            def body(carry, lv):
+                depth, new_caches = module.apply(
+                    {"params": params},
+                    jax.tree.map(lambda a: a[None], lv),
+                    carry,
+                    skip_tmp_block=skip_tmp_block,
+                    method="streaming_kv_head_step",
+                )
+                return new_caches, depth[0]
+
+            caches, depths = jax.lax.scan(body, caches, levels)
+            return _resize_out(depths[None], out_hw)[0], caches
+
+        return chunk_step
+
+    @functools.cached_property
+    def _aligned_chunk_step_fn(self):
+        """Chunked variant of ``_aligned_step_fn``.  The scan threads only
+        the KV caches — the (s, t) fits are all against the fixed warmup
+        anchor, so they are independent per frame and run batched after the
+        scan (same arithmetic as the per-frame path)."""
+        module = self.model.module
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("skip_tmp_block", "out_hw"),
+            donate_argnums=(2,),
+        )
+        def chunk_step(
+            params, xs, caches, anchor_levels, ref_anchor,
+            skip_tmp_block=False, out_hw=None,
+        ):
+            from video_depth_anything_tpu.ops.scale_shift import (
+                compute_scale_and_shift_jax,
+            )
+
+            levels = module.apply(
+                {"params": params}, xs, method="encode_level_features"
+            )
+
+            def body(carry, lv):
+                depth, new_caches = module.apply(
+                    {"params": params},
+                    jax.tree.map(lambda a: a[None], lv),
+                    carry,
+                    skip_tmp_block=skip_tmp_block,
+                    anchor_levels=anchor_levels,
+                    method="streaming_kv_head_step",
+                )
+                return new_caches, depth  # (2, h, w): [anchor, newest]
+
+            caches, depths = jax.lax.scan(body, caches, levels)
+            d = _resize_out(depths, out_hw)  # (K, 2, fh, fw) fp32
+
+            def fit(pair):
+                s, t = compute_scale_and_shift_jax(pair[0], ref_anchor)
+                return pair[1] * s + t
+
+            return jax.vmap(fit)(d), caches
+
+        return chunk_step
+
     def infer(
         self,
         frames: np.ndarray,
@@ -205,42 +292,57 @@ class KVStreamingPipeline:
             # video_depth.py:409-413 / use_feature_idx[...][0] = 0)
             ref_anchor = depth0[0, 0]
 
-        it = range(L, org_len)
+        bar = None
         if progress:
             from tqdm import tqdm
 
-            it = tqdm(it, desc="frames (kv)")
+            bar = tqdm(total=max(0, org_len - L), desc="frames (kv)")
 
         pending: List[jnp.ndarray] = []
-        for i in it:
-            x = jnp.asarray(pre[i][None], dtype=dtype)
-            if self.align:
-                depth, caches, _, _ = self._aligned_step_fn(
-                    params,
-                    x,
-                    caches,
-                    anchor_levels,
-                    ref_anchor,
-                    skip_tmp_block=skip_tmp_block,
-                    out_hw=(fh, fw),
-                )
+
+        def drain(force=False):
+            while pending and (force or len(pending) > 1):
+                d = np.asarray(pending.pop(0), dtype=np.float32)
+                depth_list.extend(d[j] for j in range(d.shape[0]))
+
+        i = L
+        while i < org_len:
+            if self.chunk > 1 and org_len - i >= self.chunk:
+                xs = jnp.asarray(pre[i : i + self.chunk], dtype=dtype)
+                if self.align:
+                    depth, caches = self._aligned_chunk_step_fn(
+                        params, xs, caches, anchor_levels, ref_anchor,
+                        skip_tmp_block=skip_tmp_block, out_hw=(fh, fw),
+                    )
+                else:
+                    depth, caches = self._chunk_step_fn(
+                        params, xs, caches,
+                        skip_tmp_block=skip_tmp_block, out_hw=(fh, fw),
+                    )
+                n_done = self.chunk
             else:
-                depth, caches = self._step_fn(
-                    params,
-                    x,
-                    caches,
-                    skip_tmp_block=skip_tmp_block,
-                    out_hw=(fh, fw),
-                )
-            # one-frame lag: this frame's D2H overlaps the next dispatch
+                x = jnp.asarray(pre[i][None], dtype=dtype)
+                if self.align:
+                    d1, caches, _, _ = self._aligned_step_fn(
+                        params, x, caches, anchor_levels, ref_anchor,
+                        skip_tmp_block=skip_tmp_block, out_hw=(fh, fw),
+                    )
+                else:
+                    d1, caches = self._step_fn(
+                        params, x, caches,
+                        skip_tmp_block=skip_tmp_block, out_hw=(fh, fw),
+                    )
+                depth, n_done = d1, 1
+            # one-frame lag: this dispatch's D2H overlaps the next dispatch
             # (transfer starts NOW, not at the np.asarray drain)
             pending.append(start_host_transfer(depth))
-            if len(pending) > 1:
-                depth_list.append(
-                    np.asarray(pending.pop(0), dtype=np.float32)[0]
-                )
-        while pending:
-            depth_list.append(np.asarray(pending.pop(0), dtype=np.float32)[0])
+            drain()
+            i += n_done
+            if bar is not None:
+                bar.update(n_done)
+        drain(force=True)
+        if bar is not None:
+            bar.close()
 
         return np.stack(depth_list, axis=0), target_fps
 

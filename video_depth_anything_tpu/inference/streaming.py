@@ -250,6 +250,74 @@ class StreamingDepthPipeline:
         return gather, slots, phys
 
     @functools.cached_property
+    def _aligned_steady_fn(self):
+        """Steady-state aligned step with the (s, t) fit ON DEVICE.
+
+        The host path (``VDA_DEVICE_ALIGN=0``) blocks on every frame's D2H
+        because the fit needs previously *emitted* aligned depths
+        (``depth_list[abs_pred_idx]``).  Here those live in ``dring`` — a
+        device ring of emitted aligned depths written at the SAME physical
+        slot as each frame's cache features, so ``dring[phys[v]]`` is
+        exactly ``depth_list[abs id of virtual slot v]`` (slot 0 = the
+        pinned global first frame, never evicted).  Same math as the host
+        fit (``compute_scale_and_shift`` over the concatenated keyframe
+        maps — concatenation and summation commute), with the one-frame
+        D2H lag restored: this is the only inference path that previously
+        kept a mandatory per-frame host roundtrip."""
+        module = self.model.module
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("skip_tmp_block", "out_hw"),
+            donate_argnums=(2, 3),
+        )
+        def step(
+            params, x, cache, dring, use_idx, slot, pred_idx, align_gather,
+            skip_tmp_block=False, out_hw=None,
+        ):
+            from video_depth_anything_tpu.ops.scale_shift import (
+                compute_scale_and_shift_jax,
+            )
+
+            gathered = tuple(c[use_idx] for c in cache)
+            depth, new_feats = module.apply(
+                {"params": params},
+                x,
+                gathered,
+                pred_idx=pred_idx,
+                skip_tmp_block=skip_tmp_block,
+                method="streaming_step",
+            )
+            if out_hw is not None and out_hw != depth.shape[1:]:
+                from video_depth_anything_tpu.ops.resize import bilinear_resize
+
+                depth = bilinear_resize(
+                    depth[..., None].astype(jnp.float32), *out_hw
+                )[..., 0]
+            depth = depth.astype(jnp.float32)
+            n_kf = pred_idx.shape[0]
+            old_kf = dring[align_gather]  # (n_kf, fh, fw) emitted depths
+            s, t = compute_scale_and_shift_jax(depth[:n_kf], old_kf)
+            aligned = depth[-1] * s + t
+            cache = tuple(
+                c.at[slot].set(f[0]) for c, f in zip(cache, new_feats)
+            )
+            dring = dring.at[slot].set(aligned)
+            return aligned[None], cache, dring
+
+        return step
+
+    @functools.cached_property
+    def _dring_write_fn(self):
+        # donated multi-slot write used by the host-fit transition phase to
+        # seed the device depth ring
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write(dring, slots, vals):
+            return dring.at[slots].set(vals)
+
+        return write
+
+    @functools.cached_property
     def _cache_write_fn(self):
         # donated single-slot write: the cache buffers update in place on
         # device instead of being copied whole every frame
@@ -282,6 +350,16 @@ class StreamingDepthPipeline:
         depth_list: List[np.ndarray] = []
         pending: List[jnp.ndarray] = []
         old_keyframes_started = False
+        # device ring of emitted aligned depths (see _aligned_steady_fn);
+        # VDA_DEVICE_ALIGN=0 falls back to the host fit everywhere
+        import os
+
+        device_align = (
+            self.align and os.environ.get("VDA_DEVICE_ALIGN", "1") != "0"
+        )
+        dring: Optional[jnp.ndarray] = None
+        if device_align:
+            dring = jnp.zeros((self.cache_len, fh, fw), jnp.float32)
         # Virtual→physical slot map: the reference shifts the whole cache
         # every steady step (video_depth.py:288-296, a full-buffer rewrite of
         # all 4 levels); here the shift is a host-side index permutation and
@@ -382,6 +460,31 @@ class StreamingDepthPipeline:
             else:
                 slot = phys[1]
                 phys = [phys[0]] + phys[2:] + [slot]
+
+            if device_align and i >= steady_from:
+                # steady aligned step, fit on device (one-frame D2H lag)
+                align_gather = use_idx[list(self.align_idx[-1])]
+                depth, cache, dring = self._aligned_steady_fn(
+                    params,
+                    x,
+                    cache,
+                    dring,
+                    jnp.asarray(use_idx),
+                    jnp.int32(slot),
+                    pred_idx_arr,
+                    jnp.asarray(align_gather),
+                    skip_tmp_block=skip_tmp_block,
+                    out_hw=(fh, fw),
+                )
+                pending.append(start_host_transfer(depth))
+                if len(pending) > 1:
+                    d = np.asarray(pending.pop(0), dtype=np.float32)
+                    depth_list.extend(d[k] for k in range(d.shape[0]))
+                i += 1
+                if bar is not None:
+                    bar.update(1)
+                continue
+
             depth, cache = self._step_fn(
                 params,
                 x,
@@ -395,11 +498,18 @@ class StreamingDepthPipeline:
 
             # depth bookkeeping / alignment (ref video_depth.py:301-319)
             if self.align:
-                # the host alignment chain needs this frame's depth now
+                # transition phase (bounded, ≈ L+max_kf frames): the host
+                # alignment chain needs this frame's depth now; emitted
+                # depths also seed the device ring for the steady phase
                 depth = np.asarray(depth, dtype=np.float32)
                 if not old_keyframes_started:
                     old_keyframes_started = True
                     depth_list.extend(depth[k] for k in range(depth.shape[0]))
+                    if device_align:
+                        slots = np.concatenate([use_idx, [slot]]).astype(np.int32)
+                        dring = self._dring_write_fn(
+                            dring, jnp.asarray(slots), jnp.asarray(depth)
+                        )
                 else:
                     cur_pred = depth[-1]
                     n_kf = len(pred_idx)
@@ -408,7 +518,14 @@ class StreamingDepthPipeline:
                         [depth_list[j] for j in abs_pred_idx]
                     )
                     s, t = compute_scale_and_shift(cur_kf, old_kf)
-                    depth_list.append(cur_pred * s + t)
+                    emitted = cur_pred * s + t
+                    depth_list.append(emitted)
+                    if device_align:
+                        dring = self._dring_write_fn(
+                            dring,
+                            jnp.asarray([slot], dtype=jnp.int32),
+                            jnp.asarray(emitted[None]),
+                        )
             else:
                 # keep the result on device for one frame so its D2H copy
                 # overlaps the next step's compute

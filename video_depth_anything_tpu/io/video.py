@@ -104,9 +104,31 @@ def count_video_frames(
     needs the global count to partition windows before any host decodes
     (``parallel/multihost.py``).  Uses the container's frame count header
     (CAP_PROP_FRAME_COUNT; exact for the mp4/avi files cv2 writes and
-    ffmpeg-muxed files generally)."""
+    ffmpeg-muxed files generally).
+
+    Failure mode (documented for multi-host runs): for VFR streams or
+    codecs whose header count is an estimate, an over-reporting header
+    surfaces as a ``ValueError`` from ``read_video_frame_range`` on
+    whichever host draws the short range — safe but late (after all hosts
+    spent decode/compute).  ``VDA_VALIDATE_FRAME_COUNT=1`` makes this
+    function verify the header by grab()-counting the stream first (one
+    cheap decode pass, no color conversion) so bad containers fail fast
+    on every host before any compute."""
+    import os
+
     cap, fps, stride = _open_sampling(video_path, target_fps)
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if os.environ.get("VDA_VALIDATE_FRAME_COUNT", "0") == "1":
+        counted = 0
+        while cap.grab():
+            counted += 1
+        if counted != total:
+            cap.release()
+            raise ValueError(
+                f"container header reports {total} frames but the stream "
+                f"holds {counted}: {video_path} (VFR/estimated header; "
+                "multi-host spans would be mispartitioned)"
+            )
     cap.release()
     if total <= 0:
         raise ValueError(f"container reports no frame count: {video_path}")
@@ -145,11 +167,22 @@ def read_video_frame_range(
     raw_start = start * stride
     pos = 0
     if raw_start:
-        if cap.set(cv2.CAP_PROP_POS_FRAMES, raw_start) and int(
-            cap.get(cv2.CAP_PROP_POS_FRAMES)
-        ) == raw_start:
+        # OpenCV's ffmpeg backend can report the *requested* position even
+        # when the seek was only keyframe/timestamp-approximate (B-frame
+        # H.264 with imperfect timestamps), so the readback check below is
+        # necessary but not sufficient.  For untrusted containers set
+        # VDA_SEEK_MODE=grab to force the frame-exact sequential grab()-skip
+        # path (still skips color-convert/retrieve for skipped frames).
+        import os
+
+        seek_mode = os.environ.get("VDA_SEEK_MODE", "auto")
+        if (
+            seek_mode != "grab"
+            and cap.set(cv2.CAP_PROP_POS_FRAMES, raw_start)
+            and int(cap.get(cv2.CAP_PROP_POS_FRAMES)) == raw_start
+        ):
             pos = raw_start
-        else:  # pragma: no cover - non-seekable container fallback
+        else:
             cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
             while pos < raw_start and cap.grab():
                 pos += 1

@@ -359,7 +359,27 @@ class DPTHeadTemporal(nn.Module):
         equivalent of the reference's per-frame keyframe realignment
         (``video_depth.py:303-317``, anchor ``tmp[0] = 0`` pinned
         forever)."""
-        n1, n2, n3, n4 = self.level_features(new_features, ph, pw)
+        levels = self.level_features(new_features, ph, pw)
+        return self.streaming_kv_head_step(
+            levels, kv_caches, ph, pw,
+            skip_tmp_block=skip_tmp_block, anchor_levels=anchor_levels,
+        )
+
+    def streaming_kv_head_step(
+        self,
+        levels,
+        kv_caches,
+        ph: int,
+        pw: int,
+        skip_tmp_block: bool = False,
+        anchor_levels=None,
+    ):
+        """The post-encoder half of ``streaming_kv_forward``: per-frame
+        pre-motion level features (each ``(1, h_l, w_l, C_l)``) + KV caches →
+        (depth, new caches).  Split out so the chunked KV mode can batch the
+        encoder over K frames and ``lax.scan`` only this cache-sequential
+        part (``inference/kv_streaming.py``)."""
+        n1, n2, n3, n4 = levels
         kv0, kv1, kv2, kv3 = kv_caches
         pin = anchor_levels is not None
         if pin:

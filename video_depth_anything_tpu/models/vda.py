@@ -168,6 +168,29 @@ class VideoDepthAnything(nn.Module):
         depth = bilinear_resize(depth, h, w)
         return depth[..., 0], new_caches
 
+    def streaming_kv_head_step(
+        self,
+        levels,
+        kv_caches,
+        skip_tmp_block: bool = False,
+        anchor_levels=None,
+    ):
+        """Post-encoder KV step: per-frame pre-motion level features (each
+        ``(1, h_l, w_l, C_l)``) + caches → (depth ``(Q, H, W)`` at input
+        resolution, new caches).  The cache-sequential half of
+        ``streaming_kv_step`` — the chunked KV pipeline batches the encoder
+        over K frames and ``lax.scan``s this."""
+        l1 = levels[0]
+        ph = l1.shape[1] // 4  # level-1 maps are 4x patch resolution
+        pw = l1.shape[2] // 4
+        depth, new_caches = self.head.streaming_kv_head_step(
+            levels, kv_caches, ph, pw, skip_tmp_block=skip_tmp_block,
+            anchor_levels=anchor_levels,
+        )
+        depth = depth.astype(l1.dtype)
+        depth = bilinear_resize(depth, ph * 14, pw * 14)
+        return depth[..., 0], new_caches
+
 
 class VDAModel:
     """Convenience bundle: config + params + jitted window forward.

@@ -239,8 +239,12 @@ def _motion_kernel(
         for g in range(pack):  # h/gate split is per location (2·inner wide)
             hh = ff_scr[:, g * 2 * inner : g * 2 * inner + inner]
             gate = ff_scr[:, g * 2 * inner + inner : (g + 1) * 2 * inner]
+            # GELU flavor by dtype, matching the XLA reference math and the
+            # VJP recompute (motion_module_reference, line ~343): tanh
+            # approximation in bf16, exact erf in fp32 — so fused fp32
+            # forwards agree with their own backward pass (advisor r3).
             act_scr[:, g * inner : (g + 1) * inner] = hh * jax.nn.gelu(
-                gate, approximate=True
+                gate, approximate=bt == jnp.bfloat16
             )
         for g in range(pack * inner // k2_):
             acc = jax.lax.dot_general(

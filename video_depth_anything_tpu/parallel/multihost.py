@@ -119,18 +119,29 @@ class MultiHostVideoDepthPipeline:
         process_id: Optional[int] = None,
         num_processes: Optional[int] = None,
         data_parallel: bool = False,
+        model_parallel: int = 1,
     ):
         """``data_parallel``: shard each host's windows over its own
         chips (a mesh of ``jax.local_devices()`` — the two-level layout of
         a real pod: windows over DCN hosts, then over each host's local
-        ICI domain)."""
+        ICI domain).  ``model_parallel=N``: additionally shard the
+        ViT/motion-FF weights Megatron-style over ``model:N`` of each
+        host's local mesh — the right layout for vitl on a pod with
+        multi-chip hosts (windows over DCN, TP collectives riding each
+        host's own ICI, never DCN)."""
         import jax
 
         from video_depth_anything_tpu.inference.pipeline import (
             VideoDepthPipeline,
         )
 
-        if data_parallel and len(jax.local_devices()) > 1:
+        n_local = len(jax.local_devices())
+        if model_parallel > 1 and n_local % model_parallel:
+            raise ValueError(
+                f"model_parallel={model_parallel} does not divide the "
+                f"{n_local} local devices of this host"
+            )
+        if (data_parallel or model_parallel > 1) and n_local > 1:
             from video_depth_anything_tpu.parallel.data_parallel import (
                 DataParallelVideoDepthPipeline,
             )
@@ -138,7 +149,9 @@ class MultiHostVideoDepthPipeline:
 
             self._local = DataParallelVideoDepthPipeline(
                 model, input_size, shape_bucket=shape_bucket,
-                mesh=create_mesh(devices=jax.local_devices()),
+                mesh=create_mesh(
+                    devices=jax.local_devices(), model=model_parallel
+                ),
             )
         else:
             self._local = VideoDepthPipeline(
