@@ -152,6 +152,36 @@ def test_device_align_matches_host_fit(rng, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_aligned_chunk_matches_per_frame(rng):
+    """Chunked ALIGNED steady state (lax.scan over the cache + emitted-
+    depth ring, K frames per dispatch) must equal the per-frame aligned
+    device path — the scan threads each step's emitted depth into the
+    next step's fit exactly like the sequential loop.  Also covers the
+    per-frame tail fallback (frame count not a multiple of the chunk)."""
+    import flax
+
+    model = VDAModel("vits", dtype=jnp.float32)
+    model.init_params(__import__("jax").random.PRNGKey(5))
+    params = flax.core.unfreeze(model.params)
+    prng = np.random.RandomState(9)
+    for name in ("motion_0", "motion_1", "motion_2", "motion_3"):
+        k = params["head"][name]["proj_out"]["kernel"]
+        params["head"][name]["proj_out"]["kernel"] = 0.02 * jnp.asarray(
+            prng.randn(*k.shape), jnp.float32
+        )
+    model.params = params
+
+    frames = (rng.rand(23, 36, 44, 3) * 255).astype(np.uint8)
+    kwargs = dict(
+        input_size=28, inference_length=6, keyframe_list=(2,),
+        align_each_new_frame=True,
+    )
+    want, _ = StreamingDepthPipeline(model, chunk_size=1, **kwargs).infer(frames)
+    got, _ = StreamingDepthPipeline(model, chunk_size=4, **kwargs).infer(frames)
+    assert got.shape == want.shape == (22, 36, 44)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_chunk_clamped_to_unique_write_slots():
     """chunk_size > cache_len−2 must be clamped: past that bound the freed
     physical slots repeat within one chunk and ``cache.at[slots].set`` with

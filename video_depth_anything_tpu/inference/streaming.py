@@ -98,18 +98,24 @@ class StreamingDepthPipeline:
         self.max_kf = max(keyframe_list)
         self.cache_len = self.L + self.max_kf - 1
         self.align = align_each_new_frame
-        # Steady-state frames (no per-frame host feedback) are processed
-        # ``chunk_size`` at a time through one batched program — the cache
-        # holds *pre-motion* per-frame features, so consecutive steps have no
-        # sequential dependency and batch exactly.  Alignment mode needs each
-        # frame's depth on the host before the next step → always per-frame.
-        # Chunk bound: ``_steady_indices`` frees physical slot ``phys[1]``
-        # once per frame; after ``cache_len − 2`` frames the freed slots
-        # start repeating, and ``cache.at[write_slots].set`` with duplicate
-        # indices has an unspecified winner in XLA (silent cache
-        # corruption).  Clamp instead of erroring — the chunking is purely
-        # a dispatch-batching detail with identical math at any size.
-        chunk = max(1, int(chunk_size)) if not align_each_new_frame else 1
+        # Steady-state frames are processed ``chunk_size`` at a time through
+        # one device program.  Non-align mode: the cache holds *pre-motion*
+        # per-frame features, so consecutive steps have no sequential
+        # dependency and batch exactly (one batched program).  Align mode:
+        # each step's fit consumes earlier steps' *emitted* depths, so the
+        # chunk is a ``lax.scan`` over the cache+ring carry instead
+        # (``_aligned_chunk_fn``; requires the device-resident fit —
+        # ``VDA_DEVICE_ALIGN=0`` falls back to per-frame host fits).
+        # Chunk bound (non-align batched path): ``_steady_indices`` frees
+        # physical slot ``phys[1]`` once per frame; after ``cache_len − 2``
+        # frames the freed slots start repeating, and
+        # ``cache.at[write_slots].set`` with duplicate indices has an
+        # unspecified winner in XLA (silent cache corruption).  Clamp
+        # instead of erroring — chunking is purely a dispatch-batching
+        # detail with identical math at any size.  (The aligned scan
+        # writes sequentially and needs no bound; clamped the same for a
+        # uniform contract.)
+        chunk = max(1, int(chunk_size))
         self.chunk = min(chunk, self.cache_len - 2)
         (self.static_kf, self.use_feature_idx, self.align_idx) = streaming_schedule(
             inference_length, keyframe_list
@@ -225,6 +231,90 @@ class StreamingDepthPipeline:
             return depth, cache
 
         return chunk_step
+
+    @functools.cached_property
+    def _aligned_chunk_fn(self):
+        """K steady ALIGNED steps in one program: batched encoder +
+        ``lax.scan`` threading (cache, depth ring) — each step gathers its
+        window, predicts keyframes + current, fits (s, t) against the
+        ring's emitted depths, emits ``cur·s + t``, and writes both the
+        new features and the emitted depth into the freed slot.  Same math
+        as K ``_aligned_steady_fn`` dispatches (pinned by
+        ``test_streaming_parity.py::test_aligned_chunk_matches_per_frame``)."""
+        module = self.model.module
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("skip_tmp_block", "out_hw"),
+            donate_argnums=(2, 3),
+        )
+        def chunk_step(
+            params, xs, cache, dring, use_idx, slots, align_gather,
+            pred_idx, skip_tmp_block=False, out_hw=None,
+        ):
+            from video_depth_anything_tpu.ops.scale_shift import (
+                compute_scale_and_shift_jax,
+            )
+
+            levels = module.apply(
+                {"params": params}, xs, method="encode_level_features"
+            )
+
+            def body(carry, x):
+                cache, dring = carry
+                lv, ui, sl, ag = x
+                gathered = tuple(c[ui] for c in cache)
+                depth, new_feats = module.apply(
+                    {"params": params},
+                    jax.tree.map(lambda a: a[None], lv),
+                    gathered,
+                    pred_idx=pred_idx,
+                    skip_tmp_block=skip_tmp_block,
+                    method="streaming_head_step",
+                )
+                if out_hw is not None and out_hw != depth.shape[1:]:
+                    from video_depth_anything_tpu.ops.resize import (
+                        bilinear_resize,
+                    )
+
+                    depth = bilinear_resize(
+                        depth[..., None].astype(jnp.float32), *out_hw
+                    )[..., 0]
+                depth = depth.astype(jnp.float32)
+                s, t = compute_scale_and_shift_jax(depth[:-1], dring[ag])
+                aligned = depth[-1] * s + t
+                cache = tuple(
+                    c.at[sl].set(f[0]) for c, f in zip(cache, new_feats)
+                )
+                dring = dring.at[sl].set(aligned)
+                return (cache, dring), aligned
+
+            (cache, dring), out = jax.lax.scan(
+                body, (cache, dring), (levels, use_idx, slots, align_gather)
+            )
+            return out, cache, dring
+
+        return chunk_step
+
+    def _aligned_steady_indices(self, phys: List[int], k: int):
+        """Advance the slot map by ``k`` steady ALIGNED frames; returns
+        ``(use_idx (k, L−1), slots (k,), align_gather (k, n_kf), phys)``.
+        Unlike ``_steady_indices`` there are no in-chunk redirects — the
+        aligned scan threads the cache, so each step's gather sees the
+        previous steps' writes directly."""
+        virt = self.use_feature_idx[-1]
+        aidx = self.align_idx[-1]
+        use = np.empty((k, len(virt)), dtype=np.int32)
+        slots = np.empty((k,), dtype=np.int32)
+        gather = np.empty((k, len(aidx)), dtype=np.int32)
+        for j in range(k):
+            row = [phys[v] for v in virt]
+            use[j] = row
+            gather[j] = [row[a] for a in aidx]
+            slot = phys[1]
+            slots[j] = slot
+            phys = [phys[0]] + phys[2:] + [slot]
+        return use, slots, gather, phys
 
     def _steady_indices(self, phys: List[int], k: int):
         """Advance the virtual→physical slot map by ``k`` steady frames.
@@ -375,9 +465,44 @@ class StreamingDepthPipeline:
         steady_from = L + max_kf
         i = 0
         while i < org_len:
+            # -- chunked steady state (aligned): scan K fit-chained steps --
+            if (
+                self.align
+                and device_align
+                and self.chunk > 1
+                and i >= steady_from
+                and org_len - i >= self.chunk
+            ):
+                k = self.chunk
+                xs = jnp.asarray(pre[i : i + k], dtype=dtype)
+                use_rows, slots, gathers, phys = self._aligned_steady_indices(
+                    phys, k
+                )
+                depth, cache, dring = self._aligned_chunk_fn(
+                    params,
+                    xs,
+                    cache,
+                    dring,
+                    jnp.asarray(use_rows),
+                    jnp.asarray(slots),
+                    jnp.asarray(gathers),
+                    jnp.asarray(self.align_idx[-1], dtype=jnp.int32),
+                    skip_tmp_block=skip_tmp_block,
+                    out_hw=(fh, fw),
+                )
+                pending.append(start_host_transfer(depth))
+                if len(pending) > 1:
+                    d = np.asarray(pending.pop(0), dtype=np.float32)
+                    depth_list.extend(d[j] for j in range(d.shape[0]))
+                i += k
+                if bar is not None:
+                    bar.update(k)
+                continue
+
             # -- chunked steady state: no host feedback, batch K frames -----
             if (
-                self.chunk > 1
+                not self.align
+                and self.chunk > 1
                 and i >= steady_from
                 and org_len - i >= self.chunk
             ):

@@ -480,7 +480,27 @@ class DPTHeadTemporal(nn.Module):
 
         Returns ``(depth (P, 14ph, 14pw, 1) fp32, new level features ×4)``.
         """
-        n1, n2, n3, n4 = self.level_features(new_features, ph, pw)
+        levels = self.level_features(new_features, ph, pw)
+        return self.streaming_head_step(
+            levels, cached, ph, pw, pred_idx=pred_idx,
+            skip_tmp_block=skip_tmp_block,
+        )
+
+    def streaming_head_step(
+        self,
+        levels,
+        cached: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        ph: int,
+        pw: int,
+        pred_idx: Optional[jnp.ndarray] = None,
+        skip_tmp_block: bool = False,
+    ):
+        """The post-encoder half of ``streaming_forward``: the new frame's
+        pre-motion level features (each ``(1, h_l, w_l, C_l)``) + gathered
+        cache windows → (depth, new level features).  Split out so the
+        chunked aligned mode can batch the encoder over K frames and
+        ``lax.scan`` only this cache-sequential part."""
+        n1, n2, n3, n4 = levels
         c1, c2, c3, c4 = cached
         t = c3.shape[0] + 1
 

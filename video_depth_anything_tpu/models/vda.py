@@ -92,6 +92,29 @@ class VideoDepthAnything(nn.Module):
         return depth[..., 0], new_feats
 
 
+    def streaming_head_step(
+        self,
+        levels,
+        cached,
+        pred_idx: Optional[Tuple[int, ...]] = None,
+        skip_tmp_block: bool = False,
+    ):
+        """Post-encoder feature-cache streaming step: the new frame's
+        pre-motion level features + gathered cache windows → (depth at
+        input resolution ``(P, H, W)``, new level features).  The
+        cache-sequential half of ``streaming_step`` — the chunked aligned
+        mode batches the encoder over K frames and ``lax.scan``s this."""
+        l1 = levels[0]
+        ph = l1.shape[1] // 4
+        pw = l1.shape[2] // 4
+        depth, new_feats = self.head.streaming_head_step(
+            levels, cached, ph, pw, pred_idx=pred_idx,
+            skip_tmp_block=skip_tmp_block,
+        )
+        depth = depth.astype(l1.dtype)
+        depth = bilinear_resize(depth, ph * 14, pw * 14)
+        return depth[..., 0], new_feats
+
     def streaming_chunk_step(
         self,
         x: jnp.ndarray,
