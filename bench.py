@@ -34,10 +34,13 @@ def _mem() -> dict:
         import jax
 
         stats = jax.local_devices()[0].memory_stats() or {}
-        return {
+        out = {
             "in_use_mb": round(stats.get("bytes_in_use", 0) / 2**20, 1),
             "peak_mb": round(stats.get("peak_bytes_in_use", 0) / 2**20, 1),
         }
+        # the axon tunnel backend reports all-zero memory_stats — omit the
+        # block rather than publish fake zeros (real TPU runtimes fill it)
+        return out if any(out.values()) else {}
     except Exception:  # pragma: no cover - backend without memory_stats
         return {}
 

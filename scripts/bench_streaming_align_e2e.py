@@ -18,8 +18,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -66,7 +64,7 @@ def main() -> int:
         wall = time.time() - t0
         results[key] = {
             "wall_s": round(wall, 1),
-            "e2e_fps": round(len(frames) / wall, 2),
+            "e2e_fps": round(d.shape[0] / wall, 2),
             "compile_s": round(compile_s, 1),
             "frames": int(d.shape[0]),
         }

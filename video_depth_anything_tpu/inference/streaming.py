@@ -439,6 +439,17 @@ class StreamingDepthPipeline:
         cache: Optional[List[jnp.ndarray]] = None
         depth_list: List[np.ndarray] = []
         pending: List[jnp.ndarray] = []
+
+        def emit(depth_out, force=False):
+            """One-dispatch lag: start this result's D2H now so it
+            overlaps the next dispatch; drain older finished transfers
+            (all of them when ``force``)."""
+            if depth_out is not None:
+                pending.append(start_host_transfer(depth_out))
+            while pending and (force or len(pending) > 1):
+                d = np.asarray(pending.pop(0), dtype=np.float32)
+                depth_list.extend(d[j] for j in range(d.shape[0]))
+
         old_keyframes_started = False
         # device ring of emitted aligned depths (see _aligned_steady_fn);
         # VDA_DEVICE_ALIGN=0 falls back to the host fit everywhere
@@ -490,10 +501,7 @@ class StreamingDepthPipeline:
                     skip_tmp_block=skip_tmp_block,
                     out_hw=(fh, fw),
                 )
-                pending.append(start_host_transfer(depth))
-                if len(pending) > 1:
-                    d = np.asarray(pending.pop(0), dtype=np.float32)
-                    depth_list.extend(d[j] for j in range(d.shape[0]))
+                emit(depth)
                 i += k
                 if bar is not None:
                     bar.update(k)
@@ -518,10 +526,7 @@ class StreamingDepthPipeline:
                     skip_tmp_block=skip_tmp_block,
                     out_hw=(fh, fw),
                 )
-                pending.append(start_host_transfer(depth))
-                if len(pending) > 1:
-                    d = np.asarray(pending.pop(0), dtype=np.float32)
-                    depth_list.extend(d[j] for j in range(d.shape[0]))
+                emit(depth)
                 i += k
                 if bar is not None:
                     bar.update(k)
@@ -601,10 +606,7 @@ class StreamingDepthPipeline:
                     skip_tmp_block=skip_tmp_block,
                     out_hw=(fh, fw),
                 )
-                pending.append(start_host_transfer(depth))
-                if len(pending) > 1:
-                    d = np.asarray(pending.pop(0), dtype=np.float32)
-                    depth_list.extend(d[k] for k in range(d.shape[0]))
+                emit(depth)
                 i += 1
                 if bar is not None:
                     bar.update(1)
@@ -654,19 +656,14 @@ class StreamingDepthPipeline:
             else:
                 # keep the result on device for one frame so its D2H copy
                 # overlaps the next step's compute
-                pending.append(start_host_transfer(depth))
-                if len(pending) > 1:
-                    d = np.asarray(pending.pop(0), dtype=np.float32)
-                    depth_list.extend(d[k] for k in range(d.shape[0]))
+                emit(depth)
             i += 1
             if bar is not None:
                 bar.update(1)
 
         if bar is not None:
             bar.close()
-        while pending:
-            d = np.asarray(pending.pop(0), dtype=np.float32)
-            depth_list.extend(d[k] for k in range(d.shape[0]))
+        emit(None, force=True)
 
         if self.align:
             depth_list = depth_list[1:org_len]
