@@ -49,8 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream_chunk", type=int, default=8,
                    help="steady-state streaming frames batched per device "
                         "dispatch (1 disables chunking; clamped to "
-                        "inference_length+max(keyframes)-3; ignored with "
-                        "--align_each_new_frame)")
+                        "inference_length+max(keyframes)-3; with "
+                        "--align_each_new_frame the chunk runs as a "
+                        "fit-chained lax.scan)")
+    p.add_argument("--transfer_dtype", choices=["fp32", "fp16"], default="fp32",
+                   help="dtype of emitted depth maps for the device->host "
+                        "copy in the streaming modes; fp16 halves D2H "
+                        "bytes at ~5e-4 relative quantization (fits/"
+                        "caches stay full precision); env "
+                        "VDA_TRANSFER_DTYPE")
     p.add_argument("--window_batch", type=int, default=None,
                    help="sliding windows batched per device program "
                         "(windows are independent; default: 4 for "
@@ -130,6 +137,9 @@ def normalize_args(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.transfer_dtype != "fp32":
+        # read at trace time by utils.device.transfer_cast
+        os.environ["VDA_TRANSFER_DTYPE"] = args.transfer_dtype
 
     import jax
     import jax.numpy as jnp

@@ -203,6 +203,26 @@ def test_chunked_handles_remainder_frames(rng):
     assert np.isfinite(got).all()
 
 
+def test_fp16_transfer_mode_quantizes_only(rng, monkeypatch):
+    """``VDA_TRANSFER_DTYPE=fp16`` halves the D2H bytes of emitted depth
+    maps; outputs must equal the fp32 path up to fp16 quantization (the
+    cast sits at the emission point only — fits, rings, and caches stay
+    full precision)."""
+    model = _make_model()
+    frames = _frames(rng, 9)
+    pipe = KVStreamingPipeline(model, input_size=28, inference_length=4,
+                               stream_chunk=2)
+    want, _ = pipe.infer(frames)
+    monkeypatch.setenv("VDA_TRANSFER_DTYPE", "fp16")
+    pipe16 = KVStreamingPipeline(model, input_size=28, inference_length=4,
+                                 stream_chunk=2)
+    got, _ = pipe16.infer(frames)
+    assert got.shape == want.shape and got.dtype == np.float32
+    scale = np.abs(want).max() + 1e-6
+    # fp16 has a 10-bit mantissa: relative quantization ~5e-4
+    assert np.abs(got - want).max() / scale < 2e-3
+
+
 @pytest.mark.slow
 def test_kv_drift_bounded_over_long_video(rng):
     """Drift bound for the O(1) mode (round-3 verdict item): over a

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from video_depth_anything_tpu.utils.device import start_host_transfer
+from video_depth_anything_tpu.utils.device import start_host_transfer, transfer_cast
 from video_depth_anything_tpu.utils.transform import preprocess_frames
 
 
@@ -118,7 +118,7 @@ class KVStreamingPipeline:
                 skip_tmp_block=skip_tmp_block,
                 method="streaming_kv_step",
             )
-            return _resize_out(depth[:, None], out_hw)[:, 0], caches
+            return transfer_cast(_resize_out(depth[:, None], out_hw)[:, 0]), caches
 
         return step
 
@@ -163,7 +163,7 @@ class KVStreamingPipeline:
             s, t = compute_scale_and_shift_jax(d[0], ref_anchor)
             # same aligned-output arithmetic as the feature-cache mode
             # (inference/streaming.py: depth_list.append(cur*s + t))
-            return (d[1] * s + t)[None], caches, s, t
+            return transfer_cast((d[1] * s + t)[None]), caches, s, t
 
         return step
 
@@ -196,7 +196,7 @@ class KVStreamingPipeline:
                 return new_caches, depth[0]
 
             caches, depths = jax.lax.scan(body, caches, levels)
-            return _resize_out(depths[None], out_hw)[0], caches
+            return transfer_cast(_resize_out(depths[None], out_hw)[0]), caches
 
         return chunk_step
 
@@ -243,7 +243,7 @@ class KVStreamingPipeline:
                 s, t = compute_scale_and_shift_jax(pair[0], ref_anchor)
                 return pair[1] * s + t
 
-            return jax.vmap(fit)(d), caches
+            return transfer_cast(jax.vmap(fit)(d)), caches
 
         return chunk_step
 

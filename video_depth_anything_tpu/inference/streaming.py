@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_depth_anything_tpu.ops.scale_shift import compute_scale_and_shift
-from video_depth_anything_tpu.utils.device import start_host_transfer
+from video_depth_anything_tpu.utils.device import start_host_transfer, transfer_cast
 from video_depth_anything_tpu.utils.transform import preprocess_frames
 
 
@@ -228,7 +228,7 @@ class StreamingDepthPipeline:
             cache = tuple(
                 c.at[write_slots].set(f) for c, f in zip(cache, new_feats)
             )
-            return depth, cache
+            return transfer_cast(depth), cache
 
         return chunk_step
 
@@ -292,7 +292,7 @@ class StreamingDepthPipeline:
             (cache, dring), out = jax.lax.scan(
                 body, (cache, dring), (levels, use_idx, slots, align_gather)
             )
-            return out, cache, dring
+            return transfer_cast(out), cache, dring
 
         return chunk_step
 
@@ -393,7 +393,7 @@ class StreamingDepthPipeline:
                 c.at[slot].set(f[0]) for c, f in zip(cache, new_feats)
             )
             dring = dring.at[slot].set(aligned)
-            return aligned[None], cache, dring
+            return transfer_cast(aligned[None]), cache, dring
 
         return step
 
