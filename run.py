@@ -251,6 +251,7 @@ def main(argv=None) -> int:
             inference_length=args.inference_length,
             align_each_new_frame=args.align_each_new_frame,
             stream_chunk=args.stream_chunk,
+            model_parallel=args.model_parallel,
         )
         depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
     elif args.process_single_image:

@@ -212,6 +212,31 @@ def test_dp_tp_inference_pipeline_matches_serial(small_model):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_tp_kv_streaming_matches_single_device(small_model):
+    """Tensor-parallel KV streaming: the step programs run with
+    Megatron-sharded weights over a ('data':1,'model':2) mesh — output
+    must match the single-device KV pipeline within float tolerance (TP
+    changes GEMM reduction order).  Streaming is sequential, so TP is the
+    only way spare chips can accelerate it."""
+    from video_depth_anything_tpu.inference.kv_streaming import (
+        KVStreamingPipeline,
+    )
+
+    rng = np.random.RandomState(4)
+    video = (rng.rand(10, 56, 56, 3) * 255).astype(np.uint8)
+
+    single = KVStreamingPipeline(small_model, input_size=56, inference_length=4)
+    want, _ = single.infer(video)
+    tp = KVStreamingPipeline(
+        small_model, input_size=56, inference_length=4,
+        model_parallel=2, stream_chunk=2,
+    )
+    assert tp._mesh.shape == {"data": 1, "model": 2}
+    got, _ = tp.infer(video)
+    assert got.shape == want.shape == (10, 56, 56)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_multihost_pipeline_single_process_matches_serial(small_model):
     """MultiHostVideoDepthPipeline degenerates to the serial pipeline at
     n_hosts=1 (process allgather of one host), and its decode_range contract

@@ -60,6 +60,7 @@ class KVStreamingPipeline:
         inference_length: int = 32,
         align_each_new_frame: bool = False,
         stream_chunk: int = 1,
+        model_parallel: int = 1,
     ):
         self.model = model
         self.input_size = input_size
@@ -71,6 +72,40 @@ class KVStreamingPipeline:
         # overhead.  The per-frame KV step is dispatch-bound e2e (~28 ms
         # host roundtrip vs a ~6 ms device step, docs/PERFORMANCE.md).
         self.chunk = max(1, int(stream_chunk))
+        # Tensor-parallel streaming: the ViT/motion-FF weights shard
+        # Megatron-style over a ('data':1, 'model':N) mesh (same TP_RULES
+        # as the window pipeline) and GSPMD inserts the per-block ICI
+        # collectives inside the step programs; K/V caches and activations
+        # get their layouts propagated from the param shardings.  A chip
+        # count that cannot batch windows (streaming is sequential) can
+        # still split the model.
+        self.model_parallel = int(model_parallel)
+        self._mesh = None
+        if self.model_parallel > 1:
+            from video_depth_anything_tpu.parallel.mesh import create_mesh
+
+            self._mesh = create_mesh(
+                data=1,
+                model=self.model_parallel,
+                devices=jax.devices()[: self.model_parallel],
+            )
+
+    def _dev(self, x):
+        """Replicate an input over the TP mesh (no-op single-chip) so
+        committed sharded params and inputs live on the same device set."""
+        if self._mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        return jax.device_put(x, NamedSharding(self._mesh, PS()))
+
+    @functools.cached_property
+    def _params(self):
+        if self._mesh is None:
+            return self.model.params
+        from video_depth_anything_tpu.parallel.mesh import shard_params
+
+        return shard_params(self.model.params, self._mesh)
 
     @functools.cached_property
     def _start_fn(self):
@@ -256,7 +291,7 @@ class KVStreamingPipeline:
     ) -> Tuple[np.ndarray, float]:
         org_len, fh, fw = frames.shape[:3]
         L = self.L
-        params = self.model.params
+        params = self._params
         dtype = self.model.dtype
 
         pre = preprocess_frames(frames, self.input_size)
@@ -271,7 +306,7 @@ class KVStreamingPipeline:
             )
         depth0, caches = self._start_fn(
             params,
-            jnp.asarray(warm[None], dtype=dtype),
+            self._dev(jnp.asarray(warm[None], dtype=dtype)),
             skip_tmp_block=skip_tmp_block,
             out_hw=(fh, fw),
             pin_anchor=self.align,
@@ -285,7 +320,7 @@ class KVStreamingPipeline:
             # anchor's pre-motion level features are pure per-frame encoder
             # functions — computed once, reused by every aligned step
             anchor_levels = self._levels_fn(
-                params, jnp.asarray(warm[:1], dtype=dtype)
+                params, self._dev(jnp.asarray(warm[:1], dtype=dtype))
             )
             # the realignment reference stays the warmup prediction forever
             # (the reference pins ref frame 0 the same way,
@@ -308,7 +343,7 @@ class KVStreamingPipeline:
         i = L
         while i < org_len:
             if self.chunk > 1 and org_len - i >= self.chunk:
-                xs = jnp.asarray(pre[i : i + self.chunk], dtype=dtype)
+                xs = self._dev(jnp.asarray(pre[i : i + self.chunk], dtype=dtype))
                 if self.align:
                     depth, caches = self._aligned_chunk_step_fn(
                         params, xs, caches, anchor_levels, ref_anchor,
@@ -321,7 +356,7 @@ class KVStreamingPipeline:
                     )
                 n_done = self.chunk
             else:
-                x = jnp.asarray(pre[i][None], dtype=dtype)
+                x = self._dev(jnp.asarray(pre[i][None], dtype=dtype))
                 if self.align:
                     d1, caches, _, _ = self._aligned_step_fn(
                         params, x, caches, anchor_levels, ref_anchor,
