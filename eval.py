@@ -55,8 +55,9 @@ def main(argv=None) -> int:
     p.add_argument("--stream_chunk", type=int, default=8,
                    help="steady-state streaming frames batched per device "
                         "dispatch (1 disables chunking; clamped to "
-                        "inference_length+max(keyframes)-3; ignored with "
-                        "--align_each_new_frame)")
+                        "inference_length+max(keyframes)-3; with "
+                        "--align_each_new_frame the chunk runs as a "
+                        "fit-chained lax.scan)")
     p.add_argument("--skip_tmp_block", action="store_true",
                    help="skip the third motion module (ref eval.py:44)")
     p.add_argument("--kv_cache", action="store_true",
@@ -66,6 +67,9 @@ def main(argv=None) -> int:
                         "--align_each_new_frame (on-device pinned-anchor "
                         "realignment)")
     p.add_argument("--data_parallel", action="store_true")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="TP-shard the ViT/motion-FF weights over N chips "
+                        "(sliding-window and --kv_cache streaming modes)")
     args = p.parse_args(argv)
 
     import jax
@@ -115,6 +119,7 @@ def main(argv=None) -> int:
                 inference_length=args.inference_length,
                 align_each_new_frame=args.align_each_new_frame,
                 stream_chunk=args.stream_chunk,
+                model_parallel=args.model_parallel,
             ),
             args.skip_tmp_block,
         )
@@ -140,12 +145,15 @@ def main(argv=None) -> int:
             ),
             args.skip_tmp_block,
         )
-    elif args.data_parallel:
+    elif args.data_parallel or args.model_parallel > 1:
         from video_depth_anything_tpu.parallel.data_parallel import (
             DataParallelVideoDepthPipeline,
         )
 
-        pipeline = DataParallelVideoDepthPipeline(model, input_size=args.input_size)
+        pipeline = DataParallelVideoDepthPipeline(
+            model, input_size=args.input_size,
+            model_parallel=args.model_parallel,
+        )
     else:
         from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
 
