@@ -54,9 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "fit-chained lax.scan)")
     p.add_argument("--transfer_dtype", choices=["fp32", "fp16"], default="fp32",
                    help="dtype of emitted depth maps for the device->host "
-                        "copy in the streaming modes; fp16 halves D2H "
-                        "bytes at ~5e-4 relative quantization (fits/"
-                        "caches stay full precision); env "
+                        "copy (window + streaming modes); fp16 halves D2H "
+                        "bytes at ~5e-4 relative quantization (alignment "
+                        "fits and caches stay full precision; the window "
+                        "stitch sees quantized inputs); env "
                         "VDA_TRANSFER_DTYPE")
     p.add_argument("--window_batch", type=int, default=None,
                    help="sliding windows batched per device program "

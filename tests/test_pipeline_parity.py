@@ -127,3 +127,26 @@ def test_window_batching_matches_serial():
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fp16_transfer_window_mode_quantizes_only(monkeypatch):
+    """``VDA_TRANSFER_DTYPE=fp16`` on the sliding-window pipeline: halves
+    the per-window D2H; stitched output must equal the fp32-transfer path
+    up to fp16 quantization (the host stitch converts back to fp32, so
+    its fits see ~5e-4 relative noise at most)."""
+    import jax
+
+    from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
+    from video_depth_anything_tpu.models.vda import VDAModel
+
+    model = VDAModel("vits", dtype=jnp.float32)
+    model.init_params(jax.random.PRNGKey(6))
+    rng = np.random.RandomState(8)
+    frames = (rng.rand(40, 36, 44, 3) * 255).astype(np.uint8)
+
+    want, _ = VideoDepthPipeline(model, input_size=28).infer_video_depth(frames)
+    monkeypatch.setenv("VDA_TRANSFER_DTYPE", "fp16")
+    got, _ = VideoDepthPipeline(model, input_size=28).infer_video_depth(frames)
+    assert got.shape == want.shape == (40, 36, 44) and got.dtype == np.float32
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 5e-3

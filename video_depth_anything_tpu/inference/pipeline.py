@@ -36,6 +36,7 @@ from video_depth_anything_tpu.ops.scale_shift import (
     interpolation_weights,
 )
 from video_depth_anything_tpu.utils.device import start_host_transfer
+from video_depth_anything_tpu.utils.device import transfer_cast
 from video_depth_anything_tpu.utils.transform import preprocess_frames
 
 
@@ -149,7 +150,10 @@ class VideoDepthPipeline:
             )  # (B, T, h, w)
             depth = depth[..., None].astype(jnp.float32)
             depth = bilinear_resize(depth, out_h, out_w)[..., 0]
-            return depth  # (B, T, out_h, out_w) fp32
+            # optional fp16 D2H (VDA_TRANSFER_DTYPE=fp16): halves the
+            # dominant transfer; the host stitch converts back to fp32 —
+            # its overlap fits see ~5e-4 relative quantization
+            return transfer_cast(depth)  # (B, T, out_h, out_w)
 
         return fwd
 
@@ -246,7 +250,9 @@ class VideoDepthPipeline:
         window_depths: List[np.ndarray] = []
 
         def drain(d):
-            window_depths.extend(np.asarray(d))
+            # fp32 on host regardless of the transfer dtype — the stitch
+            # chain (fits, cross-fade) runs full precision
+            window_depths.extend(np.asarray(d, dtype=np.float32))
 
         pending = None
         for s in it:

@@ -28,6 +28,7 @@ from video_depth_anything_tpu.inference.pipeline import (
 )
 from video_depth_anything_tpu.ops.resize import bilinear_resize
 from video_depth_anything_tpu.parallel.mesh import create_mesh
+from video_depth_anything_tpu.utils.device import transfer_cast
 from video_depth_anything_tpu.utils.transform import preprocess_frames
 
 
@@ -73,7 +74,7 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
             )  # (W, T, h, w)
             depth = depth[..., None].astype(jnp.float32)
             depth = bilinear_resize(depth, out_h, out_w)[..., 0]
-            return depth  # (W, T, out_h, out_w)
+            return transfer_cast(depth)  # (W, T, out_h, out_w)
 
         return fwd
 
@@ -128,7 +129,7 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
             depth = self._batched_window_fn(
                 self._sharded_params, xs, fh, fw, skip_tmp_block=skip_tmp_block
             )
-            window_depths.extend(np.asarray(depth))
+            window_depths.extend(np.asarray(depth, dtype=np.float32))
         return window_depths[:n_win]
 
     def infer_video_depth(
