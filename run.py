@@ -265,6 +265,7 @@ def main(argv=None) -> int:
             keyframe_list=tuple(args.keyframe_list),
             align_each_new_frame=args.align_each_new_frame,
             chunk_size=args.stream_chunk,
+            model_parallel=args.model_parallel,
         )
         depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
     else:

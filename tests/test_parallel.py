@@ -259,3 +259,23 @@ def test_multihost_pipeline_single_process_matches_serial(small_model):
     got, _ = mh.infer_video_depth(len(video), lambda a, b: video[a:b])
     assert got.shape == want.shape
     np.testing.assert_array_equal(got, want)
+
+
+def test_tp_feature_cache_streaming_matches_single_device(small_model):
+    """TP feature-cache streaming (both the warmup/step programs and the
+    chunked steady program run with model:2-sharded weights) matches the
+    single-device pipeline within float tolerance."""
+    from video_depth_anything_tpu.inference.streaming import (
+        StreamingDepthPipeline,
+    )
+
+    rng = np.random.RandomState(6)
+    video = (rng.rand(14, 56, 56, 3) * 255).astype(np.uint8)
+    kwargs = dict(input_size=56, inference_length=6, keyframe_list=(2,))
+
+    want, _ = StreamingDepthPipeline(small_model, **kwargs).infer(video)
+    tp = StreamingDepthPipeline(small_model, model_parallel=2, **kwargs)
+    assert tp._mesh.shape == {"data": 1, "model": 2}
+    got, _ = tp.infer(video)
+    assert got.shape == want.shape == (9, 56, 56)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

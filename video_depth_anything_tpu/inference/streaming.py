@@ -88,6 +88,7 @@ class StreamingDepthPipeline:
         keyframe_list: Tuple[int, ...] = (0, 12),
         align_each_new_frame: bool = False,
         chunk_size: int = 8,
+        model_parallel: int = 1,
     ):
         if inference_length <= len(keyframe_list) + 2:
             raise ValueError("inference_length too small for the keyframe list")
@@ -117,6 +118,19 @@ class StreamingDepthPipeline:
         # uniform contract.)
         chunk = max(1, int(chunk_size))
         self.chunk = min(chunk, self.cache_len - 2)
+        # Tensor-parallel streaming (same pattern as KVStreamingPipeline):
+        # Megatron-sharded weights over ('data':1,'model':N); GSPMD inserts
+        # the ICI collectives in the existing step programs.
+        self.model_parallel = int(model_parallel)
+        self._mesh = None
+        if self.model_parallel > 1:
+            from video_depth_anything_tpu.parallel.mesh import create_mesh
+
+            self._mesh = create_mesh(
+                data=1,
+                model=self.model_parallel,
+                devices=jax.devices()[: self.model_parallel],
+            )
         (self.static_kf, self.use_feature_idx, self.align_idx) = streaming_schedule(
             inference_length, keyframe_list
         )
@@ -132,6 +146,22 @@ class StreamingDepthPipeline:
                 "crash in the reference as well); use keyframes > 0, e.g. "
                 "keyframe_list=(12,)"
             )
+
+    def _dev(self, x):
+        """Replicate an input over the TP mesh (no-op single-chip)."""
+        if self._mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        return jax.device_put(x, NamedSharding(self._mesh, PS()))
+
+    @functools.cached_property
+    def _params(self):
+        if self._mesh is None:
+            return self.model.params
+        from video_depth_anything_tpu.parallel.mesh import shard_params
+
+        return shard_params(self.model.params, self._mesh)
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -432,7 +462,7 @@ class StreamingDepthPipeline:
         org_len, fh, fw = frames.shape[:3]
         L, max_kf = self.L, self.max_kf
         dtype = self.model.dtype
-        params = self.model.params
+        params = self._params
 
         pre = preprocess_frames(frames, self.input_size)
 
@@ -485,7 +515,7 @@ class StreamingDepthPipeline:
                 and org_len - i >= self.chunk
             ):
                 k = self.chunk
-                xs = jnp.asarray(pre[i : i + k], dtype=dtype)
+                xs = self._dev(jnp.asarray(pre[i : i + k], dtype=dtype))
                 use_rows, slots, gathers, phys = self._aligned_steady_indices(
                     phys, k
                 )
@@ -515,7 +545,7 @@ class StreamingDepthPipeline:
                 and org_len - i >= self.chunk
             ):
                 k = self.chunk
-                xs = jnp.asarray(pre[i : i + k], dtype=dtype)
+                xs = self._dev(jnp.asarray(pre[i : i + k], dtype=dtype))
                 gather, slots, phys = self._steady_indices(phys, k)
                 depth, cache = self._chunk_fn(
                     params,
@@ -532,7 +562,7 @@ class StreamingDepthPipeline:
                     bar.update(k)
                 continue
 
-            x = jnp.asarray(pre[i][None], dtype=dtype)
+            x = self._dev(jnp.asarray(pre[i][None], dtype=dtype))
             if i < L - 1:
                 feats = self._encode_fn(params, x)
                 if cache is None:
