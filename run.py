@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "inference_length+max(keyframes)-3; with "
                         "--align_each_new_frame the chunk runs as a "
                         "fit-chained lax.scan)")
-    p.add_argument("--transfer_dtype", choices=["fp32", "fp16"], default="fp32",
+    p.add_argument("--transfer_dtype", choices=["fp32", "fp16"], default=None,
                    help="dtype of emitted depth maps for the device->host "
                         "copy (window + streaming modes); fp16 halves D2H "
                         "bytes at ~5e-4 relative quantization (alignment "
@@ -138,8 +138,9 @@ def normalize_args(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.transfer_dtype != "fp32":
-        # read at trace time by utils.device.transfer_cast
+    if args.transfer_dtype is not None:
+        # read at trace time by utils.device.transfer_cast; an explicit
+        # --transfer_dtype fp32 overrides an inherited env fp16
         os.environ["VDA_TRANSFER_DTYPE"] = args.transfer_dtype
 
     import jax

@@ -264,3 +264,22 @@ def test_kv_drift_bounded_over_long_video(rng):
         assert peak < peak_bound, (name, peak)
     # per-frame realignment must reduce accumulated drift
     assert rel_al[-50:].mean() < rel[-50:].mean()
+
+
+def test_fp16_transfer_aligned_keeps_fit_precision(rng, monkeypatch):
+    """fp16 transfer on the ALIGNED KV path: the warmup block, the
+    ref_anchor, and every in-jit fit stay fp32 (only the emitted frame
+    casts), so outputs equal the fp32-transfer aligned path up to fp16
+    quantization — a fit-input quantization leak would compound across
+    frames and blow past the single-cast bound."""
+    model = _make_model()
+    _randomize_motion(model)
+    frames = _frames(rng, 12)
+    kwargs = dict(input_size=28, inference_length=4,
+                  align_each_new_frame=True, stream_chunk=3)
+    want, _ = KVStreamingPipeline(model, **kwargs).infer(frames)
+    monkeypatch.setenv("VDA_TRANSFER_DTYPE", "fp16")
+    got, _ = KVStreamingPipeline(model, **kwargs).infer(frames)
+    assert got.shape == want.shape and got.dtype == np.float32
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 2e-3

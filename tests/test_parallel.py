@@ -279,3 +279,25 @@ def test_tp_feature_cache_streaming_matches_single_device(small_model):
     got, _ = tp.infer(video)
     assert got.shape == want.shape == (9, 56, 56)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_tp_kv_streaming_aligned_matches_single_device(small_model):
+    """TP x per-frame realignment: the aligned KV step (anchor re-predict
+    + in-jit fit) and its chunked scan run with model:2-sharded weights —
+    equality with the single-device aligned pipeline within float
+    tolerance.  Covers the aligned branches the plain TP test misses."""
+    from video_depth_anything_tpu.inference.kv_streaming import (
+        KVStreamingPipeline,
+    )
+
+    rng = np.random.RandomState(7)
+    video = (rng.rand(11, 56, 56, 3) * 255).astype(np.uint8)
+    kwargs = dict(input_size=56, inference_length=4, align_each_new_frame=True)
+
+    want, _ = KVStreamingPipeline(small_model, **kwargs).infer(video)
+    tp = KVStreamingPipeline(
+        small_model, model_parallel=2, stream_chunk=3, **kwargs
+    )
+    got, _ = tp.infer(video)
+    assert got.shape == want.shape == (11, 56, 56)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

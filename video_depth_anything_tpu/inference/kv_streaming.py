@@ -82,22 +82,17 @@ class KVStreamingPipeline:
         self.model_parallel = int(model_parallel)
         self._mesh = None
         if self.model_parallel > 1:
-            from video_depth_anything_tpu.parallel.mesh import create_mesh
+            from video_depth_anything_tpu.parallel.mesh import tp_mesh
 
-            self._mesh = create_mesh(
-                data=1,
-                model=self.model_parallel,
-                devices=jax.devices()[: self.model_parallel],
-            )
+            self._mesh = tp_mesh(self.model_parallel)
 
     def _dev(self, x):
-        """Replicate an input over the TP mesh (no-op single-chip) so
-        committed sharded params and inputs live on the same device set."""
+        """Replicate an input over the TP mesh (no-op single-chip)."""
         if self._mesh is None:
             return x
-        from jax.sharding import NamedSharding, PartitionSpec as PS
+        from video_depth_anything_tpu.parallel.mesh import replicate
 
-        return jax.device_put(x, NamedSharding(self._mesh, PS()))
+        return replicate(x, self._mesh)
 
     @functools.cached_property
     def _params(self):
@@ -122,6 +117,12 @@ class KVStreamingPipeline:
                 method="streaming_kv_start",
             )
             depth = _resize_out(depth, out_hw)
+            if not pin_anchor:
+                # non-align warmup depths are pure emission — honor the
+                # transfer dtype (the L-frame warmup block is the single
+                # largest D2H).  Align mode stays fp32: row 0 becomes the
+                # ref_anchor every later fit consumes.
+                depth = transfer_cast(depth)
             # the ring caches hold L−1 entries and each step appends the new
             # frame: drop the oldest — or, pinned (realignment mode), drop
             # frame 1 so slot 0 keeps the global first frame forever

@@ -124,13 +124,9 @@ class StreamingDepthPipeline:
         self.model_parallel = int(model_parallel)
         self._mesh = None
         if self.model_parallel > 1:
-            from video_depth_anything_tpu.parallel.mesh import create_mesh
+            from video_depth_anything_tpu.parallel.mesh import tp_mesh
 
-            self._mesh = create_mesh(
-                data=1,
-                model=self.model_parallel,
-                devices=jax.devices()[: self.model_parallel],
-            )
+            self._mesh = tp_mesh(self.model_parallel)
         (self.static_kf, self.use_feature_idx, self.align_idx) = streaming_schedule(
             inference_length, keyframe_list
         )
@@ -151,9 +147,9 @@ class StreamingDepthPipeline:
         """Replicate an input over the TP mesh (no-op single-chip)."""
         if self._mesh is None:
             return x
-        from jax.sharding import NamedSharding, PartitionSpec as PS
+        from video_depth_anything_tpu.parallel.mesh import replicate
 
-        return jax.device_put(x, NamedSharding(self._mesh, PS()))
+        return replicate(x, self._mesh)
 
     @functools.cached_property
     def _params(self):
@@ -190,7 +186,7 @@ class StreamingDepthPipeline:
 
         @functools.partial(
             jax.jit,
-            static_argnames=("skip_tmp_block", "out_hw"),
+            static_argnames=("skip_tmp_block", "out_hw", "cast"),
             donate_argnums=(2,),
         )
         def step(
@@ -202,6 +198,7 @@ class StreamingDepthPipeline:
             pred_idx=None,
             skip_tmp_block=False,
             out_hw=None,
+            cast=False,
         ):
             gathered = tuple(c[use_idx] for c in cache)
             depth, new_feats = module.apply(
@@ -221,7 +218,10 @@ class StreamingDepthPipeline:
             cache = tuple(
                 c.at[slot].set(f[0]) for c, f in zip(cache, new_feats)
             )
-            return depth, cache
+            # ``cast``: pure-emission calls (non-align steady) honor the
+            # transfer dtype; align-mode calls keep fp32 — the host/ring
+            # fits consume these depths
+            return (transfer_cast(depth) if cast else depth), cache
 
         return step
 
@@ -651,6 +651,7 @@ class StreamingDepthPipeline:
                 pred_idx=pred_idx_arr,
                 skip_tmp_block=skip_tmp_block,
                 out_hw=(fh, fw),
+                cast=not self.align,
             )
 
             # depth bookkeeping / alignment (ref video_depth.py:301-319)

@@ -77,3 +77,18 @@ def shard_params(params, mesh: Mesh, rules=TP_RULES):
     return jax.tree.map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
     )
+
+
+def tp_mesh(model_parallel: int) -> Mesh:
+    """('data':1, 'model':N) mesh over the first N local devices — the
+    streaming pipelines' TP layout (sequential modes have no data axis to
+    shard; TP is how spare chips accelerate them)."""
+    return create_mesh(
+        data=1, model=model_parallel, devices=jax.devices()[:model_parallel]
+    )
+
+
+def replicate(x, mesh: Mesh):
+    """Replicate an input over ``mesh`` so committed sharded params and
+    inputs live on the same device set."""
+    return jax.device_put(x, NamedSharding(mesh, PS()))
