@@ -168,7 +168,7 @@ def _drift_scene(n, h=36, w=44):
 
 
 @pytest.mark.parametrize("align", [False, True])
-def test_chunked_matches_per_frame(rng, align):
+def test_chunked_matches_per_frame(align):
     """stream_chunk=K runs K steady steps per dispatch (batched encoder +
     lax.scan over the cache-sequential head) — identical math to K
     per-frame steps.  Randomized motion proj_out makes the caches
@@ -176,7 +176,8 @@ def test_chunked_matches_per_frame(rng, align):
     breaks this."""
     model = _make_model()
     _randomize_motion(model)
-    frames = _frames(rng, 14)
+    # own rng: order-invariant inputs for a float-sensitive comparison
+    frames = _frames(np.random.RandomState(35), 14)
     per_frame = KVStreamingPipeline(
         model, input_size=28, inference_length=4, align_each_new_frame=align
     )
