@@ -78,6 +78,11 @@ def main(argv=None) -> int:
     from video_depth_anything_tpu.data import get_dataset
     from video_depth_anything_tpu.evals.evaluate import evaluate_dataset
     from video_depth_anything_tpu.models.vda import VDAModel
+    from video_depth_anything_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     kwargs = {}
     if args.dataset == "kitti":

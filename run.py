@@ -149,6 +149,11 @@ def main(argv=None) -> int:
     from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
     from video_depth_anything_tpu.io.video import read_video_frames, save_video
     from video_depth_anything_tpu.models.vda import VDAModel
+    from video_depth_anything_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     multihost = args.coordinator is not None or (args.num_hosts or 1) > 1
     if multihost:

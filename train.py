@@ -65,6 +65,12 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from video_depth_anything_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     from video_depth_anything_tpu.data import get_dataset
     from video_depth_anything_tpu.data.clips import ClipSampler
     from video_depth_anything_tpu.io.checkpoint import (
