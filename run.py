@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "fits and caches stay full precision; the window "
                         "stitch sees quantized inputs); env "
                         "VDA_TRANSFER_DTYPE")
+    p.add_argument("--ring_dtype", choices=["fp32", "fp16", "bf16"],
+                   default=None,
+                   help="storage dtype of the device-resident emitted-depth "
+                        "ring (--process_single_image --align_each_new_frame "
+                        "only); fp16/bf16 halve ring memory, quantizing only "
+                        "the (s, t) fit references — emitted depths stay "
+                        "fp32; env VDA_RING_DTYPE")
     p.add_argument("--window_batch", type=int, default=None,
                    help="sliding windows batched per device program "
                         "(windows are independent; default: 4 for "
@@ -272,6 +279,7 @@ def main(argv=None) -> int:
             align_each_new_frame=args.align_each_new_frame,
             chunk_size=args.stream_chunk,
             model_parallel=args.model_parallel,
+            ring_dtype=args.ring_dtype,
         )
         depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
     else:

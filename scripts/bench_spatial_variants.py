@@ -127,6 +127,48 @@ def _kernel_chunk(
             pv(i - 2, (i - 2) % 2)
 
 
+def _kernel_sbf16(
+    q_ref, k_ref, v_ref, o_ref, *, d, n_valid, n_pad, fast, ceiling
+):
+    """Round-5 probe of the fp32-score-tile VMEM wall (verdict item 8):
+
+    ``sbf16``   — the QK GEMM emits a **bf16 score tile** (MXU still
+                  accumulates fp32; the convert rides the copy-out), so the
+                  mask/max/sub passes read/write half the bytes; the exp2
+                  poly upcasts per element (its bit assembly needs fp32).
+                  Output differs from base by bf16 logit quantization.
+    ``ceiling`` — the softmax chain deleted entirely (p = s, constant l):
+                  invalid math, measures the QK+PV GEMM-pair floor of this
+                  exact kernel structure/layout — the most any softmax
+                  restructuring could ever recover."""
+    nh = q_ref.shape[-1] // d
+    for h in range(nh):
+        lo = h * d
+        s = jax.lax.dot_general(
+            q_ref[0, :, lo : lo + d], k_ref[0, :, lo : lo + d],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.bfloat16,
+        )
+        if ceiling:
+            p16 = s
+            l = jnp.full((s.shape[0], 1), float(n_pad), jnp.float32)
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, jnp.bfloat16(-1e30))
+            if fast:
+                p = _exp2_poly(s.astype(jnp.float32))
+            else:
+                m = jnp.max(s, axis=1, keepdims=True)
+                p = _exp2_poly((s - m).astype(jnp.float32))
+            l = jnp.sum(p, axis=1, keepdims=True)
+            p16 = p.astype(v_ref.dtype)
+        acc = jax.lax.dot_general(
+            p16, v_ref[0, :, lo : lo + d],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, lo : lo + d] = (acc / l).astype(o_ref.dtype)
+
+
 def run_variant(variant, q, k, v, *, scale, n_valid, num_heads):
     b, n, hd = q.shape
     d = hd // num_heads
@@ -144,6 +186,11 @@ def run_variant(variant, q, k, v, *, scale, n_valid, num_heads):
     elif variant == "nomask":
         kernel = functools.partial(
             _kernel_ilv, d=d, n_valid=n, n_pad=n_pad, nomask=True
+        )
+    elif variant in ("sbf16", "sbf16:fast", "ceiling"):
+        kernel = functools.partial(
+            _kernel_sbf16, d=d, n_valid=n, n_pad=n_pad,
+            fast=variant.endswith(":fast"), ceiling=variant == "ceiling",
         )
     elif variant.startswith("chunk"):
         nc = int(variant[5:])
@@ -216,8 +263,21 @@ def main():
                           "ms_per_call": round(dt * 1e3, 3),
                           "ms_window": round(dt * nlayers * 1e3, 1)}),
               flush=True)
+        base_exact = lambda: flash_attention_native(
+            q, k, v, scale=d**-0.5, n_valid=n, num_heads=heads,
+            fast_softmax=False,
+        )
+        dt = amortized(base_exact, force)
+        print(json.dumps({"enc": enc, "variant": "base:exact",
+                          "ms_per_call": round(dt * 1e3, 3),
+                          "ms_window": round(dt * nlayers * 1e3, 1)}),
+              flush=True)
 
-        for variant in ("ilv", "nomask", "chunk2", "chunk4", "chunk8"):
+        variants = sys.argv[1:] or [
+            "ilv", "nomask", "chunk2", "chunk4", "chunk8",
+            "sbf16", "sbf16:fast", "ceiling",
+        ]
+        for variant in variants:
             try:
                 fn = jax.jit(
                     functools.partial(

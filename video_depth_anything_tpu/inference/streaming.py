@@ -89,9 +89,29 @@ class StreamingDepthPipeline:
         align_each_new_frame: bool = False,
         chunk_size: int = 8,
         model_parallel: int = 1,
+        ring_dtype: Optional[str] = None,
     ):
         if inference_length <= len(keyframe_list) + 2:
             raise ValueError("inference_length too small for the keyframe list")
+        # Storage dtype of the device-resident emitted-depth ring (aligned
+        # mode only).  fp32 default preserves exact host-fit parity; fp16 /
+        # bf16 halve the ring (≈160 MB at 43 slots / 720p fp32, growing
+        # with output resolution) at the cost of quantized (s, t) fit
+        # references — emitted depths themselves stay fp32.  A/B drift
+        # numbers: docs/PERFORMANCE.md "Reduced-precision aligned ring".
+        import os as _os
+
+        ring = ring_dtype or _os.environ.get("VDA_RING_DTYPE", "fp32")
+        try:
+            self.ring_dtype = {
+                "fp32": jnp.float32,
+                "fp16": jnp.float16,
+                "bf16": jnp.bfloat16,
+            }[ring]
+        except KeyError:
+            raise ValueError(
+                f"ring_dtype must be fp32|fp16|bf16, got {ring!r}"
+            ) from None
         self.model = model
         self.input_size = input_size
         self.L = inference_length
@@ -311,12 +331,18 @@ class StreamingDepthPipeline:
                         depth[..., None].astype(jnp.float32), *out_hw
                     )[..., 0]
                 depth = depth.astype(jnp.float32)
-                s, t = compute_scale_and_shift_jax(depth[:-1], dring[ag])
+                # ring reads upcast to fp32 for the fit; writes below cast
+                # back to the ring dtype (``.at[].set`` casts to the array's
+                # dtype), so a reduced-precision ring only quantizes the
+                # (s, t) references, never the emitted depths
+                s, t = compute_scale_and_shift_jax(
+                    depth[:-1], dring[ag].astype(jnp.float32)
+                )
                 aligned = depth[-1] * s + t
                 cache = tuple(
                     c.at[sl].set(f[0]) for c, f in zip(cache, new_feats)
                 )
-                dring = dring.at[sl].set(aligned)
+                dring = dring.at[sl].set(aligned.astype(dring.dtype))
                 return (cache, dring), aligned
 
             (cache, dring), out = jax.lax.scan(
@@ -416,13 +442,15 @@ class StreamingDepthPipeline:
                 )[..., 0]
             depth = depth.astype(jnp.float32)
             n_kf = pred_idx.shape[0]
-            old_kf = dring[align_gather]  # (n_kf, fh, fw) emitted depths
+            # (n_kf, fh, fw) emitted depths; upcast for the fit (the ring
+            # may store fp16/bf16 — VDA_RING_DTYPE)
+            old_kf = dring[align_gather].astype(jnp.float32)
             s, t = compute_scale_and_shift_jax(depth[:n_kf], old_kf)
             aligned = depth[-1] * s + t
             cache = tuple(
                 c.at[slot].set(f[0]) for c, f in zip(cache, new_feats)
             )
-            dring = dring.at[slot].set(aligned)
+            dring = dring.at[slot].set(aligned.astype(dring.dtype))
             return transfer_cast(aligned[None]), cache, dring
 
         return step
@@ -433,7 +461,7 @@ class StreamingDepthPipeline:
         # seed the device depth ring
         @functools.partial(jax.jit, donate_argnums=(0,))
         def write(dring, slots, vals):
-            return dring.at[slots].set(vals)
+            return dring.at[slots].set(vals.astype(dring.dtype))
 
         return write
 
@@ -490,7 +518,7 @@ class StreamingDepthPipeline:
         )
         dring: Optional[jnp.ndarray] = None
         if device_align:
-            dring = jnp.zeros((self.cache_len, fh, fw), jnp.float32)
+            dring = jnp.zeros((self.cache_len, fh, fw), self.ring_dtype)
         # Virtual→physical slot map: the reference shifts the whole cache
         # every steady step (video_depth.py:288-296, a full-buffer rewrite of
         # all 4 levels); here the shift is a host-side index permutation and
