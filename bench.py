@@ -444,6 +444,8 @@ def main() -> int:
     print(line(detail), flush=True)
 
     if os.environ.get("VDA_BENCH_FAST", "0") != "1":
+        import sys
+
         for key, fn in EXTRA_ROWS:
             elapsed = time.time() - t_start
             if elapsed > budget_s:
@@ -453,6 +455,8 @@ def main() -> int:
                 detail[key] = fn()
             except Exception as e:  # noqa: BLE001
                 detail[key] = f"ERROR: {type(e).__name__}: {e}"
+            print(f"# bench row {key}: {detail[key]}", file=sys.stderr,
+                  flush=True)
         detail["elapsed_s"] = round(time.time() - t_start, 1)
         print(line(detail), flush=True)
     return 0

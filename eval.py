@@ -58,6 +58,10 @@ def main(argv=None) -> int:
                         "inference_length+max(keyframes)-3; with "
                         "--align_each_new_frame the chunk runs as a "
                         "fit-chained lax.scan)")
+    p.add_argument("--ring_dtype", choices=["fp32", "fp16", "bf16"],
+                   default=None,
+                   help="storage dtype of the aligned mode's emitted-depth "
+                        "ring (see run.py --ring_dtype; env VDA_RING_DTYPE)")
     p.add_argument("--skip_tmp_block", action="store_true",
                    help="skip the third motion module (ref eval.py:44)")
     p.add_argument("--kv_cache", action="store_true",
@@ -148,6 +152,7 @@ def main(argv=None) -> int:
                 align_each_new_frame=args.align_each_new_frame,
                 chunk_size=args.stream_chunk,
                 model_parallel=args.model_parallel,
+                ring_dtype=args.ring_dtype,
             ),
             args.skip_tmp_block,
         )

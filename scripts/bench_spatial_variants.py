@@ -144,15 +144,19 @@ def _kernel_sbf16(
     nh = q_ref.shape[-1] // d
     for h in range(nh):
         lo = h * d
+        # Mosaic requires a 32-bit matmul accumulator, so the bf16 score
+        # tile is an explicit post-GEMM cast (one convert pass buys
+        # half-width mask/max/sub passes).
         s = jax.lax.dot_general(
             q_ref[0, :, lo : lo + d], k_ref[0, :, lo : lo + d],
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.bfloat16,
+            preferred_element_type=jnp.float32,
         )
         if ceiling:
-            p16 = s
+            p16 = s.astype(v_ref.dtype)
             l = jnp.full((s.shape[0], 1), float(n_pad), jnp.float32)
         else:
+            s = s.astype(jnp.bfloat16)
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < n_valid, s, jnp.bfloat16(-1e30))
             if fast:

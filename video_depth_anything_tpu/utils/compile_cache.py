@@ -34,7 +34,8 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     never raises (a backend without serialization support silently skips
     caching — correctness is unaffected).
     """
-    if os.environ.get("VDA_COMPILE_CACHE", "1") == "0":
+    mode = os.environ.get("VDA_COMPILE_CACHE", "auto")
+    if mode == "0":
         return None
     path = (
         cache_dir
@@ -43,6 +44,15 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     )
     try:
         import jax
+
+        if mode != "1" and jax.default_backend() == "cpu":
+            # CPU compiles are fast, and XLA:CPU AOT deserialization is
+            # pinned to the exact machine-feature set of the compiling
+            # process (feature-mismatch loads warn about possible SIGILL).
+            # The cache's value is the minute-scale REMOTE compiles of
+            # accelerator backends — auto mode enables it only there.
+            # VDA_COMPILE_CACHE=1 forces it on regardless.
+            return None
 
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
