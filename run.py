@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "only); fp16/bf16 halve ring memory, quantizing only "
                         "the (s, t) fit references — emitted depths stay "
                         "fp32; env VDA_RING_DTYPE")
+    p.add_argument("--host_upsample", action="store_true",
+                   default=None,
+                   help="window modes: emit depth at MODEL resolution and "
+                        "run the final align-corners upsample on the host "
+                        "(same fp32 taps as the device path) — shrinks the "
+                        "dominant depth D2H by the source/model area ratio "
+                        "(720p ≈ 1.9×, 4K ≈ 11×); composes with "
+                        "--transfer_dtype fp16; env VDA_HOST_UPSAMPLE=1")
     p.add_argument("--window_batch", type=int, default=None,
                    help="sliding windows batched per device program "
                         "(windows are independent; default: 4 for "
@@ -224,6 +232,7 @@ def main(argv=None) -> int:
             shape_bucket=args.shape_bucket, window_batch=args.window_batch,
             data_parallel=args.data_parallel,
             model_parallel=args.model_parallel,
+            host_upsample=args.host_upsample,
         )
         t0 = time.time()
         depths, fps = pipe.infer_video_depth(
@@ -285,7 +294,7 @@ def main(argv=None) -> int:
     else:
         pipe = VideoDepthPipeline(
             model, input_size=args.input_size, shape_bucket=args.shape_bucket,
-            window_batch=args.window_batch,
+            window_batch=args.window_batch, host_upsample=args.host_upsample,
         )
         if args.data_parallel or args.model_parallel > 1:
             from video_depth_anything_tpu.parallel.data_parallel import (
@@ -297,6 +306,7 @@ def main(argv=None) -> int:
                 shape_bucket=args.shape_bucket,
                 model_parallel=args.model_parallel,
                 window_batch=args.window_batch,
+                host_upsample=args.host_upsample,
             )
         depths, fps = pipe.infer_video_depth(
             frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True

@@ -2,6 +2,7 @@
 the reference model and preserve the forward output bit-for-bit."""
 
 import numpy as np
+import pytest
 import torch
 
 from tests.reference_oracle import load_reference_vda, reference_state_numpy
@@ -10,6 +11,9 @@ from video_depth_anything_tpu.io.checkpoint import (
     convert_torch_state_dict,
     export_torch_state_dict,
 )
+
+pytestmark = pytest.mark.slow  # torch-oracle / multi-process tier: excluded from the fast lane (pytest -m 'not slow')
+
 
 
 def test_roundtrip_strict_and_forward(rng):

@@ -122,6 +122,7 @@ def test_eval_cli_rejects_unknown_dataset():
         eval_cli.main(["--dataset", "nope", "--root", "/tmp", "--csv", "/tmp/x.csv"])
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     """Full train.py loop on a synthesized TartanAir mini-dataset: sampler →
     prefetcher → pjit'd steps → checkpoint save, then --resume continues

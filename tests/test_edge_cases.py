@@ -78,6 +78,7 @@ def test_kv_chunk_larger_than_video(model, rng):
     assert depth.shape == (6, 36, 44)
 
 
+@pytest.mark.slow
 def test_window_batch_exceeds_num_windows(model, rng):
     """window_batch > n_windows: the batch is padded with duplicates of
     the last window and the padding is dropped — output equals the
@@ -160,6 +161,7 @@ def test_multihost_pipeline_idle_host_single_process(model, rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("hw", [(42, 126), (126, 42)])
 def test_wide_aspect_ratio_shrink_and_bucket(model, rng, hw):
     """ratio > 1.78 rectangles: the reference's input-size shrink guard
@@ -179,6 +181,7 @@ def test_wide_aspect_ratio_shrink_and_bucket(model, rng, hw):
     assert c > 0.9, c
 
 
+@pytest.mark.slow
 def test_kv_streaming_wide_aspect(model, rng):
     """KV mode through the ratio guard: non-square source, depth at the
     source resolution."""

@@ -72,16 +72,22 @@ def _randomize_proj_out(params, c, scale=0.3):
     return params
 
 
-def test_collect_matches_call_and_seeds_exact_kv_chain(rng):
+def test_collect_matches_call_and_seeds_exact_kv_chain():
     """With a single attention block per transformer block, every attention
     input is a pure per-frame function of the module input, so a kv_step
     from a cache collected over frames 0..T−2 reproduces the full-window
-    module output for the last frame EXACTLY (the design's key property)."""
+    module output for the last frame EXACTLY (the design's key property).
+
+    Own seeded rng (not the shared session fixture): the collect-vs-call
+    comparison is at fp32-associativity tolerance, so the compared values
+    are input-dependent — the shared rng's stream shifts whenever tests
+    are added or deselected elsewhere (e.g. the ``-m "not slow"`` lane)."""
     cfg = MotionModuleConfig(
         num_heads=4, temporal_max_len=8, num_attention_blocks=1
     )
     b, t, h, w, c = 1, 6, 3, 4, 32
     mod = TemporalModule(cfg, c, attn_impl="xla")
+    rng = np.random.RandomState(21)
     x = jnp.asarray(rng.randn(b, t, h, w, c), jnp.float32)
     params = _randomize_proj_out(mod.init(jax.random.PRNGKey(0), x), c)
 

@@ -22,6 +22,7 @@ def _frames(rng, n, h=36, w=44):
     return (rng.rand(n, h, w, 3) * 255).astype(np.uint8)
 
 
+@pytest.mark.slow
 def test_kv_pipeline_identity_motion_matches_batch_window(rng):
     """At init the motion modules are identities (zero proj_out), so every
     frame's depth is a per-frame function — the KV pipeline (warmup window
@@ -120,6 +121,7 @@ def test_scale_shift_jax_matches_numpy(rng):
     assert np.isclose(float(t_j), t_np, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kv_aligned_identity_motion_matches_plain(rng):
     """With identity motion modules the anchor's fresh prediction equals its
     stored warmup depth, so the per-frame fit is (s, t) = (1, 0) and the
@@ -167,6 +169,7 @@ def _drift_scene(n, h=36, w=44):
     ).astype(np.uint8)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("align", [False, True])
 def test_chunked_matches_per_frame(align):
     """stream_chunk=K runs K steady steps per dispatch (batched encoder +
@@ -191,6 +194,7 @@ def test_chunked_matches_per_frame(align):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_chunked_handles_remainder_frames(rng):
     """A frame count that is not a multiple of the chunk falls back to the
     per-frame step for the tail; every frame still gets a depth."""
@@ -204,6 +208,7 @@ def test_chunked_handles_remainder_frames(rng):
     assert np.isfinite(got).all()
 
 
+@pytest.mark.slow
 def test_fp16_transfer_mode_quantizes_only(rng, monkeypatch):
     """``VDA_TRANSFER_DTYPE=fp16`` halves the D2H bytes of emitted depth
     maps; outputs must equal the fp32 path up to fp16 quantization (the
@@ -267,6 +272,7 @@ def test_kv_drift_bounded_over_long_video(rng):
     assert rel_al[-50:].mean() < rel[-50:].mean()
 
 
+@pytest.mark.slow
 def test_fp16_transfer_aligned_keeps_fit_precision(rng, monkeypatch):
     """fp16 transfer on the ALIGNED KV path: the warmup block, the
     ref_anchor, and every in-jit fit stay fp32 (only the emitted frame

@@ -19,6 +19,9 @@ from video_depth_anything_tpu.models import VideoDepthAnything
 import jax.numpy as jnp
 import jax
 
+pytestmark = pytest.mark.slow  # torch-oracle / multi-process tier: excluded from the fast lane (pytest -m 'not slow')
+
+
 
 @pytest.fixture(scope="module")
 def oracle():

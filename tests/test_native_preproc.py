@@ -24,6 +24,7 @@ def test_native_matches_cv2(rng):
     assert np.abs(got - want).max() < 2e-3
 
 
+@pytest.mark.slow
 @needs_native
 def test_native_preproc_pipeline_e2e(rng, monkeypatch):
     """The production default (VDA_NATIVE_PREPROC=1, pinned OFF suite-wide

@@ -43,6 +43,7 @@ def _random_case(rng, n, h, w, c):
         (4, 16, 16, 64, 28, 28),    # 2-frame lane packing (vitb groups=2)
     ],
 )
+@pytest.mark.slow
 def test_fused_tail_matches_xla_chain(n, h, w, c, oh, ow):
     rng = np.random.default_rng(hash((n, h, w, c, oh, ow)) % 2**32)
     x, k1, b1, k2, b2 = _random_case(rng, n, h, w, c)
@@ -74,6 +75,7 @@ def test_dispatch_gate_rejects_uncovered():
     )
 
 
+@pytest.mark.slow
 def test_fused_tail_gradients_match_xla_chain():
     rng = np.random.default_rng(7)
     x, k1, b1, k2, b2 = _random_case(rng, 1, 16, 16, 32)

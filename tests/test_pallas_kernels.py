@@ -347,6 +347,7 @@ def _motion_raw_params(params, cfg):
     [(256, 36, 8), (128, 25, 32), (64, 64, 8), (192, 36, 8)],
     # 256/128: aligned lane groups; 64/192: gunit=2 block-diagonal groups
 )
+@pytest.mark.slow
 def test_fused_motion_module_matches_module(rng, c, s, t):
     """Whole-module fused kernel (ops/pallas_motion.py) vs TemporalModule:
     GroupNorm fold, packed lane-group GEMMs/LayerNorm, segment-matrix
@@ -387,6 +388,7 @@ def test_fused_motion_module_matches_module(rng, c, s, t):
     np.testing.assert_allclose(got / denom, want / denom, rtol=0, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_motion_module_grads_match_reference(rng):
     """The custom VJP recomputes through the XLA reference — gradients of
     the fused op must match the reference's."""

@@ -41,6 +41,7 @@ def test_partition_rules(small_model):
     assert specs["head"]["output_conv1"]["kernel"] == PS()
 
 
+@pytest.mark.slow
 def test_tp_forward_matches_single_device(small_model):
     """Tensor-sharded forward over model=2 must equal the unsharded one."""
     mesh = create_mesh(data=4, model=2)
@@ -56,6 +57,7 @@ def test_tp_forward_matches_single_device(small_model):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_data_parallel_pipeline_matches_serial(small_model):
     from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
     from video_depth_anything_tpu.parallel.data_parallel import (
@@ -101,6 +103,7 @@ def test_initialize_distributed_single_host_noop():
     assert initialize_distributed() == (0, 1)
 
 
+@pytest.mark.slow
 def test_zero1_shards_opt_state_and_matches_baseline(small_model, tmp_path):
     """ZeRO-1: optimizer-state leaves gain a 'data'-axis shard, the step
     result matches the unsharded trainer, and save/restore re-establishes
@@ -186,6 +189,7 @@ def test_zero1_shards_opt_state_and_matches_baseline(small_model, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_dp_tp_inference_pipeline_matches_serial(small_model):
     """Productized TP inference (round-3): the mesh pipeline with
     model_parallel=2 — params TP-sharded via TP_RULES, windows over the
@@ -212,6 +216,7 @@ def test_dp_tp_inference_pipeline_matches_serial(small_model):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_kv_streaming_matches_single_device(small_model):
     """Tensor-parallel KV streaming: the step programs run with
     Megatron-sharded weights over a ('data':1,'model':2) mesh — output
@@ -237,6 +242,7 @@ def test_tp_kv_streaming_matches_single_device(small_model):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_multihost_pipeline_single_process_matches_serial(small_model):
     """MultiHostVideoDepthPipeline degenerates to the serial pipeline at
     n_hosts=1 (process allgather of one host), and its decode_range contract
@@ -261,6 +267,7 @@ def test_multihost_pipeline_single_process_matches_serial(small_model):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_tp_feature_cache_streaming_matches_single_device(small_model):
     """TP feature-cache streaming (both the warmup/step programs and the
     chunked steady program run with model:2-sharded weights) matches the
@@ -281,6 +288,7 @@ def test_tp_feature_cache_streaming_matches_single_device(small_model):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_kv_streaming_aligned_matches_single_device(small_model):
     """TP x per-frame realignment: the aligned KV step (anchor re-predict
     + in-jit fit) and its chunked scan run with model:2-sharded weights —

@@ -25,6 +25,9 @@ from video_depth_anything_tpu.inference.pipeline import (
 from video_depth_anything_tpu.io.checkpoint import convert_torch_state_dict
 from video_depth_anything_tpu.models.vda import VDAModel
 
+pytestmark = pytest.mark.slow  # torch-oracle / multi-process tier: excluded from the fast lane (pytest -m 'not slow')
+
+
 
 def _synthetic_video(n=48, h=70, w=98, seed=0):
     """Smooth moving-gradient video (uint8) — content-like, not pure noise."""

@@ -8,9 +8,13 @@ blocked by harness rot.
 """
 
 import json
+import pytest
 import os
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow  # torch-oracle / multi-process tier: excluded from the fast lane (pytest -m 'not slow')
+
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(ROOT, "scripts", "pod_scaling_bench.py")

@@ -35,6 +35,7 @@ def _case(rng, n, h, w, c, cout=128):
         (3, 8, 8, 256),     # tiny, odd frame count
     ],
 )
+@pytest.mark.slow
 def test_fused_resize_conv_matches_xla_pair(n, h, w, c):
     rng = np.random.default_rng(hash((n, h, w, c)) % 2**32)
     x, k, b = _case(rng, n, h, w, c)

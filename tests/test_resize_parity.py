@@ -16,6 +16,9 @@ from video_depth_anything_tpu.ops.resize import (
     bilinear_resize,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle / multi-process tier: excluded from the fast lane (pytest -m 'not slow')
+
+
 
 @pytest.mark.parametrize(
     "in_hw,out_hw",

@@ -41,6 +41,7 @@ KWARGS = dict(
 )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ring", ["fp16", "bf16"])
 def test_reduced_ring_matches_fp32_within_quantization(ring):
     model = _aligned_model()

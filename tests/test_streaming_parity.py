@@ -23,6 +23,9 @@ from video_depth_anything_tpu.inference.streaming import (
 from video_depth_anything_tpu.io.checkpoint import convert_torch_state_dict
 from video_depth_anything_tpu.models.vda import VDAModel
 
+pytestmark = pytest.mark.slow  # torch-oracle / multi-process tier: excluded from the fast lane (pytest -m 'not slow')
+
+
 
 def test_schedule_default_config():
     static_kf, use_idx, align_idx = streaming_schedule(32, [0, 12])

@@ -251,6 +251,7 @@ def test_optimizer_schedule_and_accumulation(rng):
     assert float(jnp.abs(upm["head"]["w"]).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_remat_motion_gradient_exact(rng):
     """``remat_motion`` must be parameter-transparent (same pytree) and
     gradient-exact: rematerialization changes what the backward saves, not
@@ -286,6 +287,7 @@ def test_remat_motion_gradient_exact(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_save_restore_state_roundtrip(tmp_path, rng):
     model = VDAModel("vits", dtype=jnp.float32)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -2,6 +2,7 @@
 small-config end-to-end smoke (the full 1.1B vitg is too big for CPU)."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -10,6 +11,9 @@ import jax.numpy as jnp
 from tests.reference_oracle import REFERENCE_ROOT, _install_shims
 from video_depth_anything_tpu.config import ViTConfig, get_model_config
 from video_depth_anything_tpu.models.dinov2 import SwiGLU
+
+pytestmark = pytest.mark.slow  # torch-oracle / multi-process tier: excluded from the fast lane (pytest -m 'not slow')
+
 
 
 def test_swiglu_matches_reference(rng):

@@ -122,6 +122,7 @@ class VideoDepthPipeline:
     def __init__(
         self, model, input_size: int = 518, shape_bucket=None,
         window_batch: Optional[int] = None,
+        host_upsample: Optional[bool] = None,
     ):
         self.model = model
         self.input_size = input_size
@@ -129,6 +130,18 @@ class VideoDepthPipeline:
         if window_batch is None:
             window_batch = 4 if model.cfg.features <= 128 else 1
         self.window_batch = max(1, int(window_batch))
+        # host_upsample: the device emits depth at MODEL resolution and the
+        # final align-corners upsample to source resolution runs on the
+        # host (``ops.resize.bilinear_resize_np`` — same fp32 taps as the
+        # device GEMM path).  Shrinks the dominant D2H by the source/model
+        # area ratio (720p/518² ≈ 1.9×, 4K ≈ 11×); composes with
+        # VDA_TRANSFER_DTYPE=fp16.  Off by default (the device resize
+        # rides the MXU for free; use where the host link binds).
+        if host_upsample is None:
+            import os
+
+            host_upsample = os.environ.get("VDA_HOST_UPSAMPLE", "0") == "1"
+        self.host_upsample = bool(host_upsample)
 
     def _target_hw(self, fh: int, fw: int):
         if self.shape_bucket is None:
@@ -240,19 +253,31 @@ class VideoDepthPipeline:
 
             it = tqdm(it, desc=f"{desc} (x{wb})")
 
+        # host_upsample: emit at model resolution; the source-resolution
+        # upsample happens in drain() after the (smaller) transfer
+        dev_h, dev_w = (pre.shape[1], pre.shape[2]) if self.host_upsample \
+            else (fh, fw)
+
         # one-chunk lag between dispatch and D2H so the (large) depth
         # transfer of chunk c overlaps the compute of chunk c+1 — the
         # device executes in order, transfers run alongside.  The lag keeps
         # one extra (wb, T, fh, fw) fp32 buffer alive on-device, so it is
         # disabled for very large frames (≥512 MB per chunk) to avoid
         # raising peak HBM past what the synchronous path needed.
-        overlap_d2h = wb * INFER_LEN * fh * fw * 4 < 512 * 2**20
+        overlap_d2h = wb * INFER_LEN * dev_h * dev_w * 4 < 512 * 2**20
         window_depths: List[np.ndarray] = []
 
         def drain(d):
             # fp32 on host regardless of the transfer dtype — the stitch
             # chain (fits, cross-fade) runs full precision
-            window_depths.extend(np.asarray(d, dtype=np.float32))
+            d = np.asarray(d, dtype=np.float32)
+            if self.host_upsample:
+                from video_depth_anything_tpu.ops.resize import (
+                    bilinear_resize_np,
+                )
+
+                d = bilinear_resize_np(d, fh, fw)
+            window_depths.extend(d)
 
         pending = None
         for s in it:
@@ -261,7 +286,8 @@ class VideoDepthPipeline:
                 wait_until(int(chunk.max()) + 1)
             x = jnp.asarray(pre[chunk], dtype=self.model.dtype)
             d = self._window_fn(
-                self.model.params, x, fh, fw, skip_tmp_block=skip_tmp_block
+                self.model.params, x, dev_h, dev_w,
+                skip_tmp_block=skip_tmp_block,
             )
             if not overlap_d2h:
                 drain(d)

@@ -28,6 +28,7 @@ import numpy as np
 
 __all__ = [
     "bilinear_resize",
+    "bilinear_resize_np",
     "bilinear_resize_packed",
     "bicubic_pos_embed_resize",
     "linear_weight_matrix",
@@ -117,6 +118,57 @@ def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return _apply_separable(
         x, linear_weight_matrix(h, out_h), linear_weight_matrix(w, out_w)
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_taps(in_size: int, out_size: int):
+    """Per-output-row (lo, hi, w_lo, w_hi) taps of ``linear_weight_matrix``
+    — identical fp32 coordinate arithmetic, in gather-lerp form for the
+    host-side resize (two products + one add per output instead of a dense
+    GEMM row that is zero everywhere else)."""
+    lo_a = np.zeros(out_size, np.int64)
+    hi_a = np.zeros(out_size, np.int64)
+    wlo = np.ones(out_size, np.float32)
+    whi = np.zeros(out_size, np.float32)
+    if out_size == 1:
+        return lo_a, hi_a, wlo, whi
+    scale = np.float32(in_size - 1) / np.float32(out_size - 1)
+    for dst in range(out_size):
+        src = np.float32(dst) * scale
+        lo = min(int(np.floor(src)), in_size - 1)
+        hi = min(lo + 1, in_size - 1)
+        frac = float(src) - lo
+        lo_a[dst], hi_a[dst] = lo, hi
+        if lo == hi:
+            # the matrix accumulates (1-frac)+frac = 1.0 in float64 here
+            wlo[dst], whi[dst] = 1.0, 0.0
+        else:
+            wlo[dst] = np.float64(1.0) - frac
+            whi[dst] = frac
+    return lo_a, hi_a, wlo, whi
+
+
+def bilinear_resize_np(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Host (numpy) twin of ``bilinear_resize`` for ``(..., H, W)`` arrays.
+
+    Same taps, same fp32 weights, same H-then-W pass order as the device
+    GEMM formulation — the two formulations accumulate the identical two
+    products per output, so results agree to fp32 round-off (pinned by
+    ``tests/test_host_upsample.py``).  Used by the pipelines'
+    ``host_upsample`` mode: the device emits model-resolution depth (the
+    D2H shrinks by the source/model area ratio) and this runs after the
+    transfer."""
+    h, w = x.shape[-2], x.shape[-1]
+    xf = np.asarray(x, np.float32)
+    if (h, w) == (out_h, out_w):
+        return xf
+    if h != out_h:
+        lo, hi, wl, wh = _linear_taps(h, out_h)
+        xf = xf[..., lo, :] * wl[:, None] + xf[..., hi, :] * wh[:, None]
+    if w != out_w:
+        lo, hi, wl, wh = _linear_taps(w, out_w)
+        xf = xf[..., lo] * wl + xf[..., hi] * wh
+    return xf
 
 
 def bilinear_resize_packed(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

@@ -43,9 +43,11 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
 
     def __init__(
         self, model, input_size: int = 518, mesh=None, shape_bucket=None,
-        model_parallel: int = 1, window_batch=None,
+        model_parallel: int = 1, window_batch=None, host_upsample=None,
     ):
-        super().__init__(model, input_size, shape_bucket, window_batch=window_batch)
+        super().__init__(model, input_size, shape_bucket,
+                         window_batch=window_batch,
+                         host_upsample=host_upsample)
         self.mesh = (
             mesh if mesh is not None else create_mesh(model=model_parallel)
         )
@@ -112,6 +114,11 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
             and pre.dtype == np.float32
         )
 
+        # host_upsample (see VideoDepthPipeline): emit model-res depth,
+        # upsample after the transfer
+        dev_h, dev_w = (pre.shape[1], pre.shape[2]) if self.host_upsample \
+            else (fh, fw)
+
         window_depths: List[np.ndarray] = []
         for start in it:
             chunk_idx = idx_padded[start : start + n_data]
@@ -127,9 +134,17 @@ class DataParallelVideoDepthPipeline(VideoDepthPipeline):
                 NamedSharding(self.mesh, PS("data")),
             )
             depth = self._batched_window_fn(
-                self._sharded_params, xs, fh, fw, skip_tmp_block=skip_tmp_block
+                self._sharded_params, xs, dev_h, dev_w,
+                skip_tmp_block=skip_tmp_block,
             )
-            window_depths.extend(np.asarray(depth, dtype=np.float32))
+            depth = np.asarray(depth, dtype=np.float32)
+            if self.host_upsample:
+                from video_depth_anything_tpu.ops.resize import (
+                    bilinear_resize_np,
+                )
+
+                depth = bilinear_resize_np(depth, fh, fw)
+            window_depths.extend(depth)
         return window_depths[:n_win]
 
     def infer_video_depth(

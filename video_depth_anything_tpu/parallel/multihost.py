@@ -120,6 +120,7 @@ class MultiHostVideoDepthPipeline:
         num_processes: Optional[int] = None,
         data_parallel: bool = False,
         model_parallel: int = 1,
+        host_upsample=None,
     ):
         """``data_parallel``: shard each host's windows over its own
         chips (a mesh of ``jax.local_devices()`` — the two-level layout of
@@ -152,11 +153,12 @@ class MultiHostVideoDepthPipeline:
                 mesh=create_mesh(
                     devices=jax.local_devices(), model=model_parallel
                 ),
+                host_upsample=host_upsample,
             )
         else:
             self._local = VideoDepthPipeline(
                 model, input_size, shape_bucket=shape_bucket,
-                window_batch=window_batch,
+                window_batch=window_batch, host_upsample=host_upsample,
             )
         self.model = model
         self.input_size = input_size
