@@ -68,11 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "fp32; env VDA_RING_DTYPE")
     p.add_argument("--host_upsample", action="store_true",
                    default=None,
-                   help="window modes: emit depth at MODEL resolution and "
-                        "run the final align-corners upsample on the host "
-                        "(same fp32 taps as the device path) — shrinks the "
-                        "dominant depth D2H by the source/model area ratio "
-                        "(720p ≈ 1.9×, 4K ≈ 11×); composes with "
+                   help="emit depth at MODEL resolution and run the final "
+                        "align-corners upsample on the host (same fp32 taps "
+                        "as the device path) — shrinks the dominant depth "
+                        "D2H by the source/model area ratio (720p ≈ 1.9×, "
+                        "4K ≈ 11×); window modes + plain streaming/KV modes "
+                        "(aligned modes keep the device resize: their fits "
+                        "consume output-res maps); composes with "
                         "--transfer_dtype fp16; env VDA_HOST_UPSAMPLE=1")
     p.add_argument("--window_batch", type=int, default=None,
                    help="sliding windows batched per device program "
@@ -275,6 +277,7 @@ def main(argv=None) -> int:
             align_each_new_frame=args.align_each_new_frame,
             stream_chunk=args.stream_chunk,
             model_parallel=args.model_parallel,
+            host_upsample=args.host_upsample,
         )
         depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
     elif args.process_single_image:
@@ -289,6 +292,7 @@ def main(argv=None) -> int:
             chunk_size=args.stream_chunk,
             model_parallel=args.model_parallel,
             ring_dtype=args.ring_dtype,
+            host_upsample=args.host_upsample,
         )
         depths, fps = pipe.infer(frames, fps, skip_tmp_block=args.skip_tmp_block, progress=True)
     else:

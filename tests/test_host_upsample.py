@@ -93,3 +93,62 @@ def test_env_default(small_model, monkeypatch):
         VideoDepthPipeline(small_model, host_upsample=False).host_upsample
         is False
     )
+
+
+@pytest.mark.slow
+def test_kv_streaming_host_upsample_matches_device(small_model):
+    from video_depth_anything_tpu.inference.kv_streaming import (
+        KVStreamingPipeline,
+    )
+
+    video = (np.random.RandomState(13).rand(12, 36, 44, 3) * 255).astype(
+        np.uint8
+    )
+    kwargs = dict(input_size=28, inference_length=4, stream_chunk=3)
+    want, _ = KVStreamingPipeline(small_model, **kwargs).infer(video)
+    got, _ = KVStreamingPipeline(
+        small_model, host_upsample=True, **kwargs
+    ).infer(video)
+    assert got.shape == want.shape == (12, 36, 44)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_feature_cache_streaming_host_upsample_matches_device(small_model):
+    from video_depth_anything_tpu.inference.streaming import (
+        StreamingDepthPipeline,
+    )
+
+    video = (np.random.RandomState(14).rand(16, 36, 44, 3) * 255).astype(
+        np.uint8
+    )
+    kwargs = dict(input_size=28, inference_length=6, keyframe_list=(2,),
+                  chunk_size=4)
+    want, _ = StreamingDepthPipeline(small_model, **kwargs).infer(video)
+    got, _ = StreamingDepthPipeline(
+        small_model, host_upsample=True, **kwargs
+    ).infer(video)
+    assert got.shape == want.shape == (11, 36, 44)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_aligned_modes_force_host_upsample_off(small_model):
+    """The aligned modes' (s, t) fits consume output-resolution maps
+    (reference semantics) — host_upsample silently disables there."""
+    from video_depth_anything_tpu.inference.kv_streaming import (
+        KVStreamingPipeline,
+    )
+    from video_depth_anything_tpu.inference.streaming import (
+        StreamingDepthPipeline,
+    )
+
+    kv = KVStreamingPipeline(
+        small_model, inference_length=4, align_each_new_frame=True,
+        host_upsample=True,
+    )
+    assert kv.host_upsample is False
+    fc = StreamingDepthPipeline(
+        small_model, inference_length=6, keyframe_list=(2,),
+        align_each_new_frame=True, host_upsample=True,
+    )
+    assert fc.host_upsample is False

@@ -61,11 +61,24 @@ class KVStreamingPipeline:
         align_each_new_frame: bool = False,
         stream_chunk: int = 1,
         model_parallel: int = 1,
+        host_upsample=None,
     ):
         self.model = model
         self.input_size = input_size
         self.L = inference_length
         self.align = align_each_new_frame
+        # host_upsample (see VideoDepthPipeline): emit model-resolution
+        # depth and run the final align-corners upsample on the host —
+        # shrinks the per-frame D2H by the source/model area ratio, the
+        # binding wall of streaming e2e.  Plain mode only: the aligned
+        # step's in-jit (s, t) fit consumes output-resolution maps
+        # (reference semantics, ``video_depth.py:303-317``), so align mode
+        # keeps the device resize.
+        if host_upsample is None:
+            import os
+
+            host_upsample = os.environ.get("VDA_HOST_UPSAMPLE", "0") == "1"
+        self.host_upsample = bool(host_upsample) and not self.align
         # K steady frames per dispatch: encoder batched over the chunk, the
         # cache-sequential head scanned K steps inside ONE program
         # (lax.scan) — same math as K per-frame steps at 1/K the dispatch
@@ -296,6 +309,16 @@ class KVStreamingPipeline:
         dtype = self.model.dtype
 
         pre = preprocess_frames(frames, self.input_size)
+        # host_upsample: device programs emit model-res fp32 depth
+        # (out_hw=None); the host resize runs in the drain
+        out_hw_dev = None if self.host_upsample else (fh, fw)
+
+        def to_host_res(d: np.ndarray) -> np.ndarray:
+            if not self.host_upsample:
+                return d
+            from video_depth_anything_tpu.ops.resize import bilinear_resize_np
+
+            return bilinear_resize_np(d, fh, fw)
 
         # warmup window: pad short videos with the last frame (the batch
         # pipeline's tail-padding quirk, ref video_depth.py:353-354)
@@ -309,11 +332,11 @@ class KVStreamingPipeline:
             params,
             self._dev(jnp.asarray(warm[None], dtype=dtype)),
             skip_tmp_block=skip_tmp_block,
-            out_hw=(fh, fw),
+            out_hw=(fh, fw) if self.align else out_hw_dev,
             pin_anchor=self.align,
         )
         depth_list: List[np.ndarray] = list(
-            np.asarray(depth0[0], dtype=np.float32)[:n_warm]
+            to_host_res(np.asarray(depth0[0], dtype=np.float32)[:n_warm])
         )
 
         anchor_levels = ref_anchor = None
@@ -338,7 +361,7 @@ class KVStreamingPipeline:
 
         def drain(force=False):
             while pending and (force or len(pending) > 1):
-                d = np.asarray(pending.pop(0), dtype=np.float32)
+                d = to_host_res(np.asarray(pending.pop(0), dtype=np.float32))
                 depth_list.extend(d[j] for j in range(d.shape[0]))
 
         i = L
@@ -353,7 +376,7 @@ class KVStreamingPipeline:
                 else:
                     depth, caches = self._chunk_step_fn(
                         params, xs, caches,
-                        skip_tmp_block=skip_tmp_block, out_hw=(fh, fw),
+                        skip_tmp_block=skip_tmp_block, out_hw=out_hw_dev,
                     )
                 n_done = self.chunk
             else:
@@ -366,7 +389,7 @@ class KVStreamingPipeline:
                 else:
                     d1, caches = self._step_fn(
                         params, x, caches,
-                        skip_tmp_block=skip_tmp_block, out_hw=(fh, fw),
+                        skip_tmp_block=skip_tmp_block, out_hw=out_hw_dev,
                     )
                 depth, n_done = d1, 1
             # one-frame lag: this dispatch's D2H overlaps the next dispatch
@@ -385,9 +408,12 @@ class KVStreamingPipeline:
 
 def _resize_out(depth: jnp.ndarray, out_hw):
     """(B, T, h, w) model-resolution depth → output resolution (fp32
-    interpolation arithmetic, align_corners bilinear — ops/resize.py)."""
+    interpolation arithmetic, align_corners bilinear — ops/resize.py).
+    ``out_hw=None`` (host-upsample mode) emits model resolution — cast to
+    fp32 so the emitted maps match the device-resize path's precision
+    (the model computes depth in its compute dtype, e.g. bf16)."""
     if out_hw is None or tuple(depth.shape[2:]) == tuple(out_hw):
-        return depth
+        return depth.astype(jnp.float32)
     from video_depth_anything_tpu.ops.resize import bilinear_resize
 
     b, t = depth.shape[:2]

@@ -90,9 +90,19 @@ class StreamingDepthPipeline:
         chunk_size: int = 8,
         model_parallel: int = 1,
         ring_dtype: Optional[str] = None,
+        host_upsample=None,
     ):
         if inference_length <= len(keyframe_list) + 2:
             raise ValueError("inference_length too small for the keyframe list")
+        # host_upsample (see VideoDepthPipeline): emit model-resolution
+        # depth, upsample on host after the (smaller) transfer.  Plain mode
+        # only — the aligned mode's fits consume output-resolution maps
+        # (reference semantics), so align keeps the device resize.
+        if host_upsample is None:
+            import os as _os2
+
+            host_upsample = _os2.environ.get("VDA_HOST_UPSAMPLE", "0") == "1"
+        self.host_upsample = bool(host_upsample) and not align_each_new_frame
         # Storage dtype of the device-resident emitted-depth ring (aligned
         # mode only).  fp32 default preserves exact host-fit parity; fp16 /
         # bf16 halve the ring (≈160 MB at 43 slots / 720p fp32, growing
@@ -235,6 +245,9 @@ class StreamingDepthPipeline:
                 depth = bilinear_resize(
                     depth[..., None].astype(jnp.float32), *out_hw
                 )[..., 0]
+            # out_hw=None (host-upsample mode) emits model res — still fp32
+            # (the model computes depth in its compute dtype)
+            depth = depth.astype(jnp.float32)
             cache = tuple(
                 c.at[slot].set(f[0]) for c, f in zip(cache, new_feats)
             )
@@ -275,6 +288,7 @@ class StreamingDepthPipeline:
                 depth = bilinear_resize(
                     depth[..., None].astype(jnp.float32), *out_hw
                 )[..., 0]
+            depth = depth.astype(jnp.float32)
             cache = tuple(
                 c.at[write_slots].set(f) for c, f in zip(cache, new_feats)
             )
@@ -493,6 +507,9 @@ class StreamingDepthPipeline:
         params = self._params
 
         pre = preprocess_frames(frames, self.input_size)
+        # host_upsample (plain mode only): emit model-res fp32 depth from
+        # the device; the source-res upsample runs in the emit drain
+        out_hw_dev = None if self.host_upsample else (fh, fw)
 
         cache: Optional[List[jnp.ndarray]] = None
         depth_list: List[np.ndarray] = []
@@ -506,6 +523,12 @@ class StreamingDepthPipeline:
                 pending.append(start_host_transfer(depth_out))
             while pending and (force or len(pending) > 1):
                 d = np.asarray(pending.pop(0), dtype=np.float32)
+                if self.host_upsample:
+                    from video_depth_anything_tpu.ops.resize import (
+                        bilinear_resize_np,
+                    )
+
+                    d = bilinear_resize_np(d, fh, fw)
                 depth_list.extend(d[j] for j in range(d.shape[0]))
 
         old_keyframes_started = False
@@ -582,7 +605,7 @@ class StreamingDepthPipeline:
                     jnp.asarray(gather),
                     jnp.asarray(slots),
                     skip_tmp_block=skip_tmp_block,
-                    out_hw=(fh, fw),
+                    out_hw=out_hw_dev,
                 )
                 emit(depth)
                 i += k
@@ -678,7 +701,7 @@ class StreamingDepthPipeline:
                 jnp.int32(slot),
                 pred_idx=pred_idx_arr,
                 skip_tmp_block=skip_tmp_block,
-                out_hw=(fh, fw),
+                out_hw=out_hw_dev,
                 cast=not self.align,
             )
 
