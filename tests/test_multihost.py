@@ -31,9 +31,6 @@ assert len(jax.local_devices()) == 1
 import jax.numpy as jnp
 from jax.experimental import multihost_utils
 
-pytestmark = pytest.mark.slow  # torch-oracle / multi-process tier: excluded from the fast lane (pytest -m 'not slow')
-
-
 vals = multihost_utils.process_allgather(jnp.asarray([pid], jnp.int32))
 got = sorted(int(v) for v in vals.ravel())
 assert got == list(range(n)), got

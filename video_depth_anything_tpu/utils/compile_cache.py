@@ -45,13 +45,19 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     try:
         import jax
 
-        if mode != "1" and jax.default_backend() == "cpu":
-            # CPU compiles are fast, and XLA:CPU AOT deserialization is
-            # pinned to the exact machine-feature set of the compiling
-            # process (feature-mismatch loads warn about possible SIGILL).
-            # The cache's value is the minute-scale REMOTE compiles of
-            # accelerator backends — auto mode enables it only there.
-            # VDA_COMPILE_CACHE=1 forces it on regardless.
+        # CPU compiles are fast, and XLA:CPU AOT deserialization is pinned
+        # to the exact machine-feature set of the compiling process
+        # (feature-mismatch loads warn about possible SIGILL).  The cache's
+        # value is the minute-scale REMOTE compiles of accelerator
+        # backends — auto mode enables it only there.  The platform check
+        # MUST be side-effect-free (config/env only, never
+        # jax.default_backend()): entry points call this before
+        # ``jax.distributed.initialize``, which requires that no backend
+        # has been initialized yet.  VDA_COMPILE_CACHE=1 forces it on.
+        platforms = (
+            jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS") or ""
+        )
+        if mode != "1" and platforms.split(",")[0] == "cpu":
             return None
 
         os.makedirs(path, exist_ok=True)
