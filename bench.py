@@ -331,6 +331,65 @@ def bench_kv_streaming(encoder: str = "vits", size: int = 518,
     }
 
 
+def bench_train(encoder: str = "vits", size: int = 266, frames: int = 32,
+                iters: int = 5) -> dict:
+    """Training-step throughput (frozen encoder, SSI+TGM losses) — the
+    subsystem the reference lacks entirely (its train.py is a VRAM stress
+    tool, SURVEY.md §2.5); clip-frames/s/chip at the standard 32×266²
+    training shape.  Uses the jit step (not AOT) because ``Trainer`` owns
+    its compilation; the static-memory block is omitted for this row."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_depth_anything_tpu.models.vda import VDAModel
+    from video_depth_anything_tpu.parallel.mesh import create_mesh
+    from video_depth_anything_tpu.train.trainer import Trainer, make_optimizer
+
+    model = VDAModel(encoder, dtype=jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    trainer = Trainer(
+        model.module,
+        optimizer=make_optimizer(learning_rate=1e-4),
+        mesh=mesh,
+        compute_dtype=jnp.bfloat16,
+    )
+    state = trainer.init_state(params)
+    rng = np.random.RandomState(0)
+    batch = {
+        "frames": jnp.asarray(
+            rng.randn(1, frames, size, size, 3), dtype=jnp.float32
+        ),
+        "disparity": jnp.asarray(
+            rng.rand(1, frames, size, size), dtype=jnp.float32
+        ),
+        "mask": jnp.ones((1, frames, size, size), dtype=jnp.float32),
+    }
+    with mesh:
+        t0 = time.time()
+        state, metrics = trainer.step(state, batch)
+        loss = float(metrics["loss"])
+        compile_s = time.time() - t0
+        for _ in range(2):
+            state, metrics = trainer.step(state, batch)
+        float(metrics["loss"])
+        t0 = time.time()
+        for _ in range(iters):
+            state, metrics = trainer.step(state, batch)
+        float(metrics["loss"])
+        med = (time.time() - t0) / iters
+    return {
+        "encoder": encoder,
+        "size": size,
+        "frames": frames,
+        "compile_s": round(compile_s, 2),
+        "step_s": round(med, 4),
+        "clip_frames_per_s": round(frames / med, 2),
+        "loss": round(loss, 4),
+        "mem": _mem(),
+    }
+
+
 def bench_data_parallel(encoder: str = "vits", size: int = 518,
                         frames: int = 32, iters: int = 5) -> dict:
     """Per-chip window throughput under the data-parallel window sharding
@@ -410,6 +469,7 @@ EXTRA_ROWS = (
     ("kv_streaming_vitl_chunked",
      lambda: bench_kv_streaming("vitl", chunk=8)),
     ("dp_vits", lambda: bench_data_parallel("vits")),
+    ("train_vits", lambda: bench_train("vits")),
 )
 
 

@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "fc1/fc2 and motion-FF weights Megatron-style over "
                         "N devices (windows shard over the remaining "
                         "devices; implies the mesh pipeline)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="pipeline-parallel stage count: stage the ViT "
+                        "encoder's block chain over N devices (GPipe over "
+                        "frame microbatches, ppermute hops over ICI); "
+                        "sliding-window mode only, exclusive with "
+                        "--data_parallel/--model_parallel")
     # multi-host (one process per host; sliding-window mode only)
     p.add_argument("--coordinator", type=str,
                    default=os.environ.get("VDA_COORDINATOR"),
@@ -300,7 +306,23 @@ def main(argv=None) -> int:
             model, input_size=args.input_size, shape_bucket=args.shape_bucket,
             window_batch=args.window_batch, host_upsample=args.host_upsample,
         )
-        if args.data_parallel or args.model_parallel > 1:
+        if args.pipeline_parallel > 1:
+            if args.data_parallel or args.model_parallel > 1:
+                raise SystemExit(
+                    "--pipeline_parallel is exclusive with "
+                    "--data_parallel/--model_parallel"
+                )
+            from video_depth_anything_tpu.parallel.pipeline_parallel import (
+                PipelineParallelVideoDepthPipeline,
+            )
+
+            pipe = PipelineParallelVideoDepthPipeline(
+                model, pipeline_parallel=args.pipeline_parallel,
+                input_size=args.input_size, shape_bucket=args.shape_bucket,
+                window_batch=args.window_batch,
+                host_upsample=args.host_upsample,
+            )
+        elif args.data_parallel or args.model_parallel > 1:
             from video_depth_anything_tpu.parallel.data_parallel import (
                 DataParallelVideoDepthPipeline,
             )

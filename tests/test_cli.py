@@ -16,12 +16,13 @@ def test_run_flags_present():
             "--save_npz", "--save_tiff", "--save_orig", "--save_vis", "--save_stats",
             "--process_single_image", "--inference_length", "16",
             "--keyframe_list", "3", "7", "--align_each_new_frame",
-            "--data_parallel",
+            "--data_parallel", "--pipeline_parallel", "2",
         ]
     )
     assert args.encoder == "vitl"
     assert args.keyframe_list == [3, 7]
     assert args.fp32 and args.save_npz and args.align_each_new_frame
+    assert args.pipeline_parallel == 2
 
 
 def test_eval_streaming_flags_present():

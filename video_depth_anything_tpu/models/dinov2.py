@@ -113,6 +113,55 @@ class Block(nn.Module):
         return x + h * ls2.astype(x.dtype)
 
 
+def interpolate_pos_encoding(
+    cfg: ViTConfig, pos_embed: jnp.ndarray, ph: int, pw: int
+) -> jnp.ndarray:
+    """Interpolate the (1, N+1, D) table to a (1, ph*pw+1, D) table.
+
+    Mirrors ``interpolate_pos_encoding`` (ref ``dinov2.py:179-210``):
+    identity when the grid matches and is square; otherwise bicubic with
+    scale factors ``(ph + 0.1) / sqrt(N)`` per axis (torch scale-factor
+    coordinate semantics, align_corners=False).  Pure function so the
+    pipeline-parallel encoder shares it with ``DinoViT``."""
+    grid = cfg.pos_grid
+    if ph == grid and pw == grid:
+        return pos_embed
+    pe = pos_embed.astype(jnp.float32)
+    cls_pos, patch_pos = pe[:, :1], pe[0, 1:]
+    patch_pos = patch_pos.reshape(grid, grid, cfg.embed_dim)
+    sh = (ph + cfg.interpolate_offset) / grid
+    sw = (pw + cfg.interpolate_offset) / grid
+    patch_pos = bicubic_pos_embed_resize(patch_pos, ph, pw, sh, sw)
+    patch_pos = patch_pos.reshape(1, ph * pw, cfg.embed_dim)
+    return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+
+def embed_tokens(
+    cfg: ViTConfig,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    cls_token: jnp.ndarray,
+    pos_embed: jnp.ndarray,
+    x: jnp.ndarray,
+) -> jnp.ndarray:
+    """Encoder prologue: ``(B, H, W, 3)`` frames → ``(B, ph*pw+1, D)``
+    cls+patch tokens with the interpolated positional embedding added
+    (ref ``dinov2.py:212-231``).  Shared by ``DinoViT.__call__`` and the
+    pipeline-parallel encoder (``parallel.pipeline_parallel``)."""
+    b, h, w, _ = x.shape
+    p = cfg.patch_size
+    ph, pw = h // p, w // p
+    dtype = x.dtype
+    patches = x.reshape(b, ph, p, pw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b, ph * pw, p * p * 3)
+    tokens = patches @ kernel.astype(dtype) + bias.astype(dtype)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(cls_token.astype(dtype), (b, 1, cfg.embed_dim)), tokens],
+        axis=1,
+    )
+    return tokens + interpolate_pos_encoding(cfg, pos_embed, ph, pw).astype(dtype)
+
+
 class DinoViT(nn.Module):
     """DINOv2 encoder over NHWC frames; returns tapped patch-token features.
 
@@ -143,21 +192,13 @@ class DinoViT(nn.Module):
             "patch_kernel", nn.initializers.lecun_normal(), (p * p * 3, cfg.embed_dim)
         )
         bias = self.param("patch_bias", nn.initializers.zeros, (cfg.embed_dim,))
-        patches = x.reshape(b, ph, p, pw, p, 3).transpose(0, 1, 3, 2, 4, 5)
-        patches = patches.reshape(b, ph * pw, p * p * 3)
-        tokens = patches @ kernel.astype(dtype) + bias.astype(dtype)
-
         cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dim))
         pos_embed = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
             (1, cfg.pos_grid * cfg.pos_grid + 1, cfg.embed_dim),
         )
-        tokens = jnp.concatenate(
-            [jnp.broadcast_to(cls_token.astype(dtype), (b, 1, cfg.embed_dim)), tokens],
-            axis=1,
-        )
-        tokens = tokens + self._pos_encoding(pos_embed, ph, pw).astype(dtype)
+        tokens = embed_tokens(cfg, kernel, bias, cls_token, pos_embed, x)
 
         taps = {}
         want = set(int(i) for i in layer_idx)
@@ -170,24 +211,3 @@ class DinoViT(nn.Module):
         # Final LayerNorm applied to every tap (ref dinov2.py:309-312);
         # drop the cls token.
         return tuple(norm(taps[int(i)])[:, 1:] for i in layer_idx)
-
-    def _pos_encoding(self, pos_embed: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
-        """Interpolate the (1, N+1, D) table to a (1, ph*pw+1, D) table.
-
-        Mirrors ``interpolate_pos_encoding`` (ref ``dinov2.py:179-210``):
-        identity when the grid matches and is square; otherwise bicubic with
-        scale factors ``(ph + 0.1) / sqrt(N)`` per axis (torch scale-factor
-        coordinate semantics, align_corners=False).
-        """
-        cfg = self.cfg
-        grid = cfg.pos_grid
-        if ph == grid and pw == grid:
-            return pos_embed
-        pe = pos_embed.astype(jnp.float32)
-        cls_pos, patch_pos = pe[:, :1], pe[0, 1:]
-        patch_pos = patch_pos.reshape(grid, grid, cfg.embed_dim)
-        sh = (ph + cfg.interpolate_offset) / grid
-        sw = (pw + cfg.interpolate_offset) / grid
-        patch_pos = bicubic_pos_embed_resize(patch_pos, ph, pw, sh, sw)
-        patch_pos = patch_pos.reshape(1, ph * pw, cfg.embed_dim)
-        return jnp.concatenate([cls_pos, patch_pos], axis=1)

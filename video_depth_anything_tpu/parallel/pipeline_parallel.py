@@ -1,0 +1,299 @@
+"""Pipeline parallelism over the ViT encoder blocks (GPipe-style).
+
+The reference has no distributed code at all (SURVEY.md §2.6); this mode is
+net-new, and it exists because the encoder dominates window cost (vitl:
+~331 of 433 ms, docs/PERFORMANCE.md slack ledger) and its structure is a
+perfect pipeline:
+
+* the DINOv2 block chain is a pure sequential composition of ``depth``
+  identical blocks (ref ``dinov2.py:297-321``) — stage ``s`` owns the
+  contiguous slice ``[s·L/S, (s+1)·L/S)`` of blocks;
+* frames are INDEPENDENT through the encoder (temporal attention lives
+  only in the DPT head, ref ``dpt_temporal.py:75-87``), so the window's
+  ``B·T`` frames split into microbatches with zero cross-microbatch state —
+  no recompute, no stale activations, textbook GPipe with bubble fraction
+  ``(S−1)/(M+S−1)``.
+
+TPU-native design: one ``shard_map`` over the mesh's ``model`` axis; each
+device holds its stage's block parameters (stacked ``(S, L/S, …)`` pytree
+sharded on axis 0 — HBM per chip drops by ~``1/S`` for the encoder);
+activations hop stages via ``jax.lax.ppermute`` (neighbor ICI transfers,
+never DCN); a ``lax.scan`` drives the ``M+S−1`` pipeline ticks.  The four
+intermediate-layer taps the DPT head consumes can land mid-stage (vitl taps
+block 4 inside stage 0 at S=4), so every stage scatters its taps into a
+zero-initialized ``(taps, M, …)`` buffer and one ``psum`` merges the
+disjoint writes at the end.
+
+When to use which parallelism (also see docs/MIGRATION.md): windows over
+spare chips → data parallel (embarrassingly parallel, zero comms); one
+window faster → tensor parallel (per-block collectives); encoder HBM per
+chip, or TP's per-block all-reduces saturating ICI at small activations →
+pipeline parallel (S−1 point-to-point hops per microbatch total).  DP
+composes with PP the same way it composes with TP (``data`` × ``model``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+from video_depth_anything_tpu.models.dinov2 import Block, embed_tokens
+from video_depth_anything_tpu.parallel.mesh import create_mesh
+
+
+def stack_block_params(pretrained_params, depth: int, num_stages: int):
+    """Stack ``block_0..block_{depth-1}`` params into one pytree with a
+    leading ``(num_stages, depth // num_stages)`` stage axis (axis 0 is the
+    one sharded over ``model``)."""
+    if depth % num_stages:
+        raise ValueError(
+            f"encoder depth {depth} not divisible by {num_stages} stages"
+        )
+    per = depth // num_stages
+    blocks = [pretrained_params[f"block_{i}"] for i in range(depth)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return jax.tree.map(
+        lambda q: q.reshape((num_stages, per) + q.shape[1:]), stacked
+    )
+
+
+class PipelineParallelWindowRunner:
+    """Window forward with the encoder pipelined over ``num_stages`` chips.
+
+    Drop-in for ``VDAModel.infer_window``: ``infer_window(x)`` takes
+    normalized ``(B, T, H, W, 3)`` frames and returns ``(B, T, H, W)``
+    inverse depth equal (up to reduction order) to the single-device
+    forward.  ``num_microbatches`` defaults to ``2·S`` when that divides
+    ``B·T`` (halves the bubble vs ``M=S``), else ``S``; it must divide
+    ``B·T``.
+    """
+
+    def __init__(
+        self,
+        model,
+        num_stages: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
+        num_microbatches: Optional[int] = None,
+    ):
+        if mesh is None:
+            if not num_stages or num_stages < 2:
+                raise ValueError("pipeline parallelism needs num_stages >= 2")
+            mesh = create_mesh(
+                data=1, model=num_stages, devices=jax.devices()[:num_stages]
+            )
+        self.mesh = mesh
+        self.model = model
+        self.cfg = model.cfg
+        self.S = mesh.shape["model"]
+        depth = self.cfg.vit.depth
+        if depth % self.S:
+            raise ValueError(
+                f"encoder depth {depth} not divisible by {self.S} stages"
+            )
+        self.Ls = depth // self.S
+        self.num_microbatches = num_microbatches
+        self.tap_idx = tuple(int(i) for i in self.cfg.intermediate_layer_idx)
+
+        params = model.params
+        stacked = stack_block_params(params["pretrained"], depth, self.S)
+        self.stage_params = jax.device_put(
+            stacked, NamedSharding(mesh, PS("model"))
+        )
+        rest_pre = {
+            k: v
+            for k, v in params["pretrained"].items()
+            if not k.startswith("block_")
+        }
+        repl = NamedSharding(mesh, PS())
+        self.rest_params = jax.device_put(
+            {"pretrained": rest_pre, "head": params["head"]}, repl
+        )
+
+    # -- pipelined encoder (inside shard_map over 'model') ------------------
+
+    def _pp_encode_fn(self, M: int):
+        cfg = self.cfg.vit
+        block = Block(cfg, self.model.module.attn_impl)
+        S, Ls, taps_n = self.S, self.Ls, len(self.tap_idx)
+        tap_idx = self.tap_idx
+
+        def pp(stage_params, tokens_mb):
+            # stage_params leaves: (1, Ls, …) local shard; tokens_mb
+            # (M, m, N+1, D) replicated.  SPMD: identical code per device,
+            # the stage id comes from the mesh axis index.
+            sid = jax.lax.axis_index("model")
+            sp = jax.tree.map(lambda q: q[0], stage_params)
+            m, n1, d = tokens_mb.shape[1:]
+            buf0 = jnp.zeros((m, n1, d), tokens_mb.dtype)
+            taps0 = jnp.zeros((taps_n, M, m, n1, d), tokens_mb.dtype)
+
+            def tick(carry, i):
+                buf, taps = carry
+                feed = jax.lax.dynamic_index_in_dim(
+                    tokens_mb, jnp.minimum(i, M - 1), axis=0, keepdims=False
+                )
+                # stage 0 injects microbatch i (the ring-wrapped value it
+                # received from the last stage is discarded)
+                x = jnp.where(sid == 0, feed, buf)
+                mb = i - sid  # microbatch flowing through this stage now
+                valid = (mb >= 0) & (mb < M)
+                mbc = jnp.clip(mb, 0, M - 1)
+                for j in range(Ls):
+                    bp = jax.tree.map(lambda q: q[j], sp)
+                    x = block.apply({"params": bp}, x)
+                    gidx = sid * Ls + j
+                    for t, tap in enumerate(tap_idx):
+                        hit = valid & (gidx == tap)
+                        taps = taps.at[t, mbc].set(
+                            jnp.where(hit, x, taps[t, mbc])
+                        )
+                nxt = jax.lax.ppermute(
+                    x, "model", [(k, (k + 1) % S) for k in range(S)]
+                )
+                return (buf if S == 1 else nxt, taps), None
+
+            (_, taps), _ = jax.lax.scan(
+                tick, (buf0, taps0), jnp.arange(M + S - 1)
+            )
+            # each (tap, microbatch) cell was written by exactly one stage;
+            # everyone else contributed the zero init — psum merges them and
+            # leaves the full tap set replicated for the (replicated) head
+            return jax.lax.psum(taps, "model")
+
+        return jax.shard_map(
+            pp,
+            mesh=self.mesh,
+            in_specs=(PS("model"), PS()),
+            out_specs=PS(),
+            check_vma=False,
+        )
+
+    def _pick_m(self, bt: int) -> int:
+        if self.num_microbatches is not None:
+            m = int(self.num_microbatches)
+            if bt % m:
+                raise ValueError(f"microbatches {m} must divide B*T={bt}")
+            return m
+        for m in (2 * self.S, self.S):
+            if m <= bt and bt % m == 0:
+                return m
+        raise ValueError(
+            f"B*T={bt} not divisible into >= {self.S} microbatches; pass "
+            f"num_microbatches explicitly"
+        )
+
+    @functools.cached_property
+    def _jit_forward(self):
+        from video_depth_anything_tpu.models.dpt import DPTHeadTemporal
+        from video_depth_anything_tpu.ops.resize import bilinear_resize
+
+        cfg = self.cfg
+        head = DPTHeadTemporal(cfg, self.model.module.attn_impl)
+
+        @functools.partial(
+            jax.jit, static_argnames=("M", "skip_tmp_block")
+        )
+        def fwd(stage_params, rest, x, M, skip_tmp_block=False):
+            b, t, h, w, _ = x.shape
+            p = cfg.vit.patch_size
+            ph, pw = h // p, w // p
+            pre = rest["pretrained"]
+            frames = x.reshape(b * t, h, w, 3)
+            tokens = embed_tokens(
+                cfg.vit,
+                pre["patch_kernel"],
+                pre["patch_bias"],
+                pre["cls_token"],
+                pre["pos_embed"],
+                frames,
+            )
+            bt, n1, d = tokens.shape
+            taps = self._pp_encode_fn(M)(
+                stage_params, tokens.reshape(M, bt // M, n1, d)
+            )
+            taps = taps.reshape(len(self.tap_idx), bt, n1, d)
+            norm = nn.LayerNorm(epsilon=cfg.vit.norm_eps, dtype=tokens.dtype)
+            feats = tuple(
+                norm.apply({"params": pre["norm"]}, taps[k])[:, 1:]
+                for k in range(len(self.tap_idx))
+            )
+            depth = head.apply(
+                {"params": rest["head"]}, feats, b, t, ph, pw, skip_tmp_block
+            )
+            depth = depth.astype(x.dtype)
+            depth = bilinear_resize(depth, h, w)
+            return depth.reshape(b, t, h, w)
+
+        return fwd
+
+    def infer_window(self, frames, skip_tmp_block: bool = False):
+        x = jnp.asarray(frames, dtype=self.model.dtype)
+        bt = x.shape[0] * x.shape[1]
+        return self._jit_forward(
+            self.stage_params,
+            self.rest_params,
+            x,
+            M=self._pick_m(bt),
+            skip_tmp_block=skip_tmp_block,
+        )
+
+
+def _lazy_pipeline_base():
+    # local import: inference.pipeline ← parallel.data_parallel would cycle
+    # if imported at module top
+    from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
+
+    return VideoDepthPipeline
+
+
+class PipelineParallelVideoDepthPipeline:
+    """``VideoDepthPipeline`` with the window forward staged over
+    ``pipeline_parallel`` chips — same preprocessing, window batching,
+    stitching, and output surface (``run.py --pipeline_parallel N``)."""
+
+    def __new__(cls, model, pipeline_parallel: int = 2, **kwargs):
+        base = _lazy_pipeline_base()
+
+        class _PP(base):
+            def __init__(self, model, pipeline_parallel, **kw):
+                super().__init__(model, **kw)
+                self._pp_runner = PipelineParallelWindowRunner(
+                    model, num_stages=pipeline_parallel
+                )
+
+            @functools.cached_property
+            def _window_fn(self):
+                from video_depth_anything_tpu.ops.resize import bilinear_resize
+                from video_depth_anything_tpu.utils.device import transfer_cast
+
+                runner = self._pp_runner
+
+                @functools.partial(
+                    jax.jit,
+                    static_argnames=("out_h", "out_w", "M", "skip_tmp_block"),
+                )
+                def fwd(stage_params, rest, x, out_h, out_w, M,
+                        skip_tmp_block=False):
+                    depth = runner._jit_forward.__wrapped__(
+                        stage_params, rest, x, M, skip_tmp_block
+                    )
+                    depth = depth[..., None].astype(jnp.float32)
+                    depth = bilinear_resize(depth, out_h, out_w)[..., 0]
+                    return transfer_cast(depth)
+
+                def call(params, x, out_h, out_w, skip_tmp_block=False):
+                    bt = x.shape[0] * x.shape[1]
+                    return fwd(
+                        runner.stage_params, runner.rest_params, x,
+                        out_h, out_w, runner._pick_m(bt),
+                        skip_tmp_block=skip_tmp_block,
+                    )
+
+                return call
+
+        return _PP(model, pipeline_parallel, **kwargs)
