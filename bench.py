@@ -356,14 +356,17 @@ def bench_train(encoder: str = "vits", size: int = 266, frames: int = 32,
     )
     state = trainer.init_state(params)
     rng = np.random.RandomState(0)
+    # one clip per data-axis slice: the step shards the batch over 'data',
+    # so a fixed batch of 1 would leave N-1 chips idle on multi-chip hosts
+    b = mesh.shape["data"]
     batch = {
         "frames": jnp.asarray(
-            rng.randn(1, frames, size, size, 3), dtype=jnp.float32
+            rng.randn(b, frames, size, size, 3), dtype=jnp.float32
         ),
         "disparity": jnp.asarray(
-            rng.rand(1, frames, size, size), dtype=jnp.float32
+            rng.rand(b, frames, size, size), dtype=jnp.float32
         ),
-        "mask": jnp.ones((1, frames, size, size), dtype=jnp.float32),
+        "mask": jnp.ones((b, frames, size, size), dtype=jnp.float32),
     }
     with mesh:
         t0 = time.time()
@@ -382,9 +385,11 @@ def bench_train(encoder: str = "vits", size: int = 266, frames: int = 32,
         "encoder": encoder,
         "size": size,
         "frames": frames,
+        "clips_per_step": b,
         "compile_s": round(compile_s, 2),
         "step_s": round(med, 4),
-        "clip_frames_per_s": round(frames / med, 2),
+        # b clips over b data-axis chips -> per-chip rate is frames/step
+        "clip_frames_per_s_per_chip": round(frames / med, 2),
         "loss": round(loss, 4),
         "mem": _mem(),
     }

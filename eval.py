@@ -74,6 +74,9 @@ def main(argv=None) -> int:
     p.add_argument("--model_parallel", type=int, default=1,
                    help="TP-shard the ViT/motion-FF weights over N chips "
                         "(sliding-window and --kv_cache streaming modes)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="GPipe-stage the encoder block chain over N chips "
+                        "(sliding-window mode; see run.py)")
     args = p.parse_args(argv)
 
     import jax
@@ -155,6 +158,15 @@ def main(argv=None) -> int:
                 ring_dtype=args.ring_dtype,
             ),
             args.skip_tmp_block,
+        )
+    elif args.pipeline_parallel > 1:
+        from video_depth_anything_tpu.parallel.pipeline_parallel import (
+            PipelineParallelVideoDepthPipeline,
+        )
+
+        pipeline = PipelineParallelVideoDepthPipeline(
+            model, pipeline_parallel=args.pipeline_parallel,
+            input_size=args.input_size,
         )
     elif args.data_parallel or args.model_parallel > 1:
         from video_depth_anything_tpu.parallel.data_parallel import (

@@ -121,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "frame microbatches, ppermute hops over ICI); "
                         "sliding-window mode only, exclusive with "
                         "--data_parallel/--model_parallel")
+    p.add_argument("--pp_microbatches", type=int, default=None,
+                   help="pipeline-parallel microbatch count (must divide "
+                        "windows*32 frames per program; default: divisor "
+                        "of that nearest 2*stages)")
     # multi-host (one process per host; sliding-window mode only)
     p.add_argument("--coordinator", type=str,
                    default=os.environ.get("VDA_COORDINATOR"),
@@ -318,6 +322,7 @@ def main(argv=None) -> int:
 
             pipe = PipelineParallelVideoDepthPipeline(
                 model, pipeline_parallel=args.pipeline_parallel,
+                num_microbatches=args.pp_microbatches,
                 input_size=args.input_size, shape_bucket=args.shape_bucket,
                 window_batch=args.window_batch,
                 host_upsample=args.host_upsample,

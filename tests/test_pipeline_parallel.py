@@ -28,11 +28,34 @@ def model():
     return m
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("stages", [2, 4])
 def test_pp_window_matches_single_device(model, stages):
     x = np.random.RandomState(0).randn(1, 4, 56, 56, 3).astype(np.float32)
     ref = np.asarray(model.infer_window(x))
     pp = PipelineParallelWindowRunner(model, num_stages=stages)
+    got = np.asarray(pp.infer_window(x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pp_window_matches_single_device_small(model):
+    """Fast-lane PP coverage at a cheap shape (the 56² 2/4-stage pair is
+    in the slow tier)."""
+    x = np.random.RandomState(0).randn(1, 4, 28, 28, 3).astype(np.float32)
+    ref = np.asarray(model.infer_window(x))
+    pp = PipelineParallelWindowRunner(model, num_stages=2)
+    got = np.asarray(pp.infer_window(x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pp_odd_stage_count_autopicks_microbatches(model):
+    """S=3 (depth 12 divisible) with B*T=4: no divisor of 4 equals 2S=6 —
+    the auto-pick must still find a runnable M (here 4) instead of
+    erroring (review finding: odd stage counts were dead on arrival)."""
+    x = np.random.RandomState(4).randn(1, 4, 28, 28, 3).astype(np.float32)
+    ref = np.asarray(model.infer_window(x))
+    pp = PipelineParallelWindowRunner(model, num_stages=3)
+    assert pp._pick_m(4) == 4
     got = np.asarray(pp.infer_window(x))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
@@ -76,6 +99,23 @@ def test_pp_validation_errors(model):
         pp.infer_window(x)
     with pytest.raises(ValueError, match="num_stages"):
         PipelineParallelWindowRunner(model, num_stages=1)
+
+
+def test_pp_tracks_params_replacement():
+    """Replacing ``model.params`` after the runner is built (checkpoint
+    load into a live pipeline) must be picked up — the base pipeline
+    re-reads ``model.params`` every call (review finding: the staged
+    copies went stale)."""
+    m = VDAModel("vits", dtype=jnp.float32)
+    m.init_params(jax.random.PRNGKey(0))
+    pp = PipelineParallelWindowRunner(m, num_stages=2)
+    x = np.random.RandomState(5).randn(1, 4, 28, 28, 3).astype(np.float32)
+    first = np.asarray(pp.infer_window(x))
+    m.init_params(jax.random.PRNGKey(99))
+    ref = np.asarray(m.infer_window(x))
+    got = np.asarray(pp.infer_window(x))
+    assert not np.allclose(got, first)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.slow

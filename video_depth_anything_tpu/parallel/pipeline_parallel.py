@@ -20,16 +20,20 @@ sharded on axis 0 — HBM per chip drops by ~``1/S`` for the encoder);
 activations hop stages via ``jax.lax.ppermute`` (neighbor ICI transfers,
 never DCN); a ``lax.scan`` drives the ``M+S−1`` pipeline ticks.  The four
 intermediate-layer taps the DPT head consumes can land mid-stage (vitl taps
-block 4 inside stage 0 at S=4), so every stage scatters its taps into a
-zero-initialized ``(taps, M, …)`` buffer and one ``psum`` merges the
-disjoint writes at the end.
+block 4 inside stage 0 at S=4), so every stage scatters its owned taps into
+a compact ``(ceil(taps/S), M, …)`` local buffer and one ``all_gather``
+merges them (tap → stage ownership is static, so the gather moves each tap
+exactly once instead of psum-ing zero padding).  Communication: each stage
+hop moves one activation tensor per microbatch over neighbor ICI; the tap
+gather moves the 4-tap set once at the end (see docs/PERFORMANCE.md
+"Pipeline parallelism").
 
 When to use which parallelism (also see docs/MIGRATION.md): windows over
 spare chips → data parallel (embarrassingly parallel, zero comms); one
-window faster → tensor parallel (per-block collectives); encoder HBM per
-chip, or TP's per-block all-reduces saturating ICI at small activations →
-pipeline parallel (S−1 point-to-point hops per microbatch total).  DP
-composes with PP the same way it composes with TP (``data`` × ``model``).
+window faster → tensor parallel (two all-reduces per block); encoder HBM
+per chip, or TP's per-block all-reduces dominating at small activations →
+pipeline parallel.  DP composes with PP the same way it composes with TP
+(``data`` × ``model``).
 """
 
 from __future__ import annotations
@@ -42,8 +46,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
+from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
 from video_depth_anything_tpu.models.dinov2 import Block, embed_tokens
-from video_depth_anything_tpu.parallel.mesh import create_mesh
+from video_depth_anything_tpu.parallel.mesh import tp_mesh
 
 
 def stack_block_params(pretrained_params, depth: int, num_stages: int):
@@ -68,9 +73,10 @@ class PipelineParallelWindowRunner:
     Drop-in for ``VDAModel.infer_window``: ``infer_window(x)`` takes
     normalized ``(B, T, H, W, 3)`` frames and returns ``(B, T, H, W)``
     inverse depth equal (up to reduction order) to the single-device
-    forward.  ``num_microbatches`` defaults to ``2·S`` when that divides
-    ``B·T`` (halves the bubble vs ``M=S``), else ``S``; it must divide
-    ``B·T``.
+    forward.  ``num_microbatches`` must divide ``B·T`` when given; the
+    default picks the divisor of ``B·T`` nearest ``2·S`` (bubble
+    ``(S−1)/(M+S−1)``), so any stage count that divides the encoder depth
+    works with any frame count.
     """
 
     def __init__(
@@ -83,9 +89,7 @@ class PipelineParallelWindowRunner:
         if mesh is None:
             if not num_stages or num_stages < 2:
                 raise ValueError("pipeline parallelism needs num_stages >= 2")
-            mesh = create_mesh(
-                data=1, model=num_stages, devices=jax.devices()[:num_stages]
-            )
+            mesh = tp_mesh(num_stages)
         self.mesh = mesh
         self.model = model
         self.cfg = model.cfg
@@ -98,29 +102,55 @@ class PipelineParallelWindowRunner:
         self.Ls = depth // self.S
         self.num_microbatches = num_microbatches
         self.tap_idx = tuple(int(i) for i in self.cfg.intermediate_layer_idx)
+        self._shard_params(model.params)
 
-        params = model.params
-        stacked = stack_block_params(params["pretrained"], depth, self.S)
+    def _shard_params(self, params) -> None:
+        """(Re)shard ``params`` over the stage mesh: blocks stacked and
+        ``model``-sharded, everything else replicated."""
+        self._params_ref = params
+        stacked = stack_block_params(
+            params["pretrained"], self.cfg.vit.depth, self.S
+        )
         self.stage_params = jax.device_put(
-            stacked, NamedSharding(mesh, PS("model"))
+            stacked, NamedSharding(self.mesh, PS("model"))
         )
         rest_pre = {
             k: v
             for k, v in params["pretrained"].items()
             if not k.startswith("block_")
         }
-        repl = NamedSharding(mesh, PS())
+        repl = NamedSharding(self.mesh, PS())
         self.rest_params = jax.device_put(
             {"pretrained": rest_pre, "head": params["head"]}, repl
         )
+
+    def refresh_params(self) -> None:
+        """Re-stack if ``model.params`` was replaced since construction
+        (checkpoint load into an already-built pipeline) — the base window
+        pipeline re-reads ``model.params`` every call; this is the staged
+        equivalent."""
+        if self.model.params is not self._params_ref:
+            self._shard_params(self.model.params)
 
     # -- pipelined encoder (inside shard_map over 'model') ------------------
 
     def _pp_encode_fn(self, M: int):
         cfg = self.cfg.vit
         block = Block(cfg, self.model.module.attn_impl)
-        S, Ls, taps_n = self.S, self.Ls, len(self.tap_idx)
+        S, Ls = self.S, self.Ls
         tap_idx = self.tap_idx
+        # tap → (owning stage, local slot) is STATIC: stages scatter into a
+        # compact (max-taps-per-stage) local buffer, one all_gather moves
+        # only owned taps, and the host-side select below reassembles the
+        # tap order — ≥2× fewer comm bytes than psum-ing a full zero-padded
+        # (taps, …) buffer (each stage owns ≤ ceil(taps/S) taps).
+        stage_of = [t // Ls for t in tap_idx]
+        slot_of = []
+        counts = [0] * S
+        for s in stage_of:
+            slot_of.append(counts[s])
+            counts[s] += 1
+        max_tps = max(counts)
 
         def pp(stage_params, tokens_mb):
             # stage_params leaves: (1, Ls, …) local shard; tokens_mb
@@ -130,7 +160,7 @@ class PipelineParallelWindowRunner:
             sp = jax.tree.map(lambda q: q[0], stage_params)
             m, n1, d = tokens_mb.shape[1:]
             buf0 = jnp.zeros((m, n1, d), tokens_mb.dtype)
-            taps0 = jnp.zeros((taps_n, M, m, n1, d), tokens_mb.dtype)
+            taps0 = jnp.zeros((max_tps, M, m, n1, d), tokens_mb.dtype)
 
             def tick(carry, i):
                 buf, taps = carry
@@ -148,9 +178,12 @@ class PipelineParallelWindowRunner:
                     x = block.apply({"params": bp}, x)
                     gidx = sid * Ls + j
                     for t, tap in enumerate(tap_idx):
+                        # hit only on the owner stage; slot_of[t] may be
+                        # shared across stages (each writes only its own)
                         hit = valid & (gidx == tap)
-                        taps = taps.at[t, mbc].set(
-                            jnp.where(hit, x, taps[t, mbc])
+                        slot = slot_of[t]
+                        taps = taps.at[slot, mbc].set(
+                            jnp.where(hit, x, taps[slot, mbc])
                         )
                 nxt = jax.lax.ppermute(
                     x, "model", [(k, (k + 1) % S) for k in range(S)]
@@ -160,10 +193,11 @@ class PipelineParallelWindowRunner:
             (_, taps), _ = jax.lax.scan(
                 tick, (buf0, taps0), jnp.arange(M + S - 1)
             )
-            # each (tap, microbatch) cell was written by exactly one stage;
-            # everyone else contributed the zero init — psum merges them and
-            # leaves the full tap set replicated for the (replicated) head
-            return jax.lax.psum(taps, "model")
+            # (S, max_tps, M, m, n1, d), identical on every device
+            allt = jax.lax.all_gather(taps, "model")
+            return jnp.stack(
+                [allt[stage_of[t], slot_of[t]] for t in range(len(tap_idx))]
+            )
 
         return jax.shard_map(
             pp,
@@ -174,18 +208,18 @@ class PipelineParallelWindowRunner:
         )
 
     def _pick_m(self, bt: int) -> int:
+        """Microbatch count: the divisor of ``bt`` nearest ``2·S`` (ties →
+        larger, shallower bubble).  Every bt has divisors (worst case
+        ``M=1`` or ``M=bt``), so auto-pick never fails — odd stage counts
+        and prime frame counts stay runnable, just with a deeper bubble."""
         if self.num_microbatches is not None:
             m = int(self.num_microbatches)
             if bt % m:
                 raise ValueError(f"microbatches {m} must divide B*T={bt}")
             return m
-        for m in (2 * self.S, self.S):
-            if m <= bt and bt % m == 0:
-                return m
-        raise ValueError(
-            f"B*T={bt} not divisible into >= {self.S} microbatches; pass "
-            f"num_microbatches explicitly"
-        )
+        target = 2 * self.S
+        divisors = [m for m in range(1, bt + 1) if bt % m == 0]
+        return min(divisors, key=lambda m: (abs(m - target), -m))
 
     @functools.cached_property
     def _jit_forward(self):
@@ -232,6 +266,7 @@ class PipelineParallelWindowRunner:
         return fwd
 
     def infer_window(self, frames, skip_tmp_block: bool = False):
+        self.refresh_params()
         x = jnp.asarray(frames, dtype=self.model.dtype)
         bt = x.shape[0] * x.shape[1]
         return self._jit_forward(
@@ -243,57 +278,52 @@ class PipelineParallelWindowRunner:
         )
 
 
-def _lazy_pipeline_base():
-    # local import: inference.pipeline ← parallel.data_parallel would cycle
-    # if imported at module top
-    from video_depth_anything_tpu.inference.pipeline import VideoDepthPipeline
-
-    return VideoDepthPipeline
-
-
-class PipelineParallelVideoDepthPipeline:
+class PipelineParallelVideoDepthPipeline(VideoDepthPipeline):
     """``VideoDepthPipeline`` with the window forward staged over
     ``pipeline_parallel`` chips — same preprocessing, window batching,
     stitching, and output surface (``run.py --pipeline_parallel N``)."""
 
-    def __new__(cls, model, pipeline_parallel: int = 2, **kwargs):
-        base = _lazy_pipeline_base()
+    def __init__(
+        self,
+        model,
+        pipeline_parallel: int = 2,
+        num_microbatches: Optional[int] = None,
+        **kwargs,
+    ):
+        super().__init__(model, **kwargs)
+        self._pp_runner = PipelineParallelWindowRunner(
+            model,
+            num_stages=pipeline_parallel,
+            num_microbatches=num_microbatches,
+        )
 
-        class _PP(base):
-            def __init__(self, model, pipeline_parallel, **kw):
-                super().__init__(model, **kw)
-                self._pp_runner = PipelineParallelWindowRunner(
-                    model, num_stages=pipeline_parallel
-                )
+    @functools.cached_property
+    def _window_fn(self):
+        from video_depth_anything_tpu.ops.resize import bilinear_resize
+        from video_depth_anything_tpu.utils.device import transfer_cast
 
-            @functools.cached_property
-            def _window_fn(self):
-                from video_depth_anything_tpu.ops.resize import bilinear_resize
-                from video_depth_anything_tpu.utils.device import transfer_cast
+        runner = self._pp_runner
 
-                runner = self._pp_runner
+        @functools.partial(
+            jax.jit,
+            static_argnames=("out_h", "out_w", "M", "skip_tmp_block"),
+        )
+        def fwd(stage_params, rest, x, out_h, out_w, M,
+                skip_tmp_block=False):
+            depth = runner._jit_forward.__wrapped__(
+                stage_params, rest, x, M, skip_tmp_block
+            )
+            depth = depth[..., None].astype(jnp.float32)
+            depth = bilinear_resize(depth, out_h, out_w)[..., 0]
+            return transfer_cast(depth)
 
-                @functools.partial(
-                    jax.jit,
-                    static_argnames=("out_h", "out_w", "M", "skip_tmp_block"),
-                )
-                def fwd(stage_params, rest, x, out_h, out_w, M,
-                        skip_tmp_block=False):
-                    depth = runner._jit_forward.__wrapped__(
-                        stage_params, rest, x, M, skip_tmp_block
-                    )
-                    depth = depth[..., None].astype(jnp.float32)
-                    depth = bilinear_resize(depth, out_h, out_w)[..., 0]
-                    return transfer_cast(depth)
+        def call(params, x, out_h, out_w, skip_tmp_block=False):
+            runner.refresh_params()
+            bt = x.shape[0] * x.shape[1]
+            return fwd(
+                runner.stage_params, runner.rest_params, x,
+                out_h, out_w, runner._pick_m(bt),
+                skip_tmp_block=skip_tmp_block,
+            )
 
-                def call(params, x, out_h, out_w, skip_tmp_block=False):
-                    bt = x.shape[0] * x.shape[1]
-                    return fwd(
-                        runner.stage_params, runner.rest_params, x,
-                        out_h, out_w, runner._pick_m(bt),
-                        skip_tmp_block=skip_tmp_block,
-                    )
-
-                return call
-
-        return _PP(model, pipeline_parallel, **kwargs)
+        return call
