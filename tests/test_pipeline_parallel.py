@@ -119,6 +119,29 @@ def test_pp_tracks_params_replacement():
 
 
 @pytest.mark.slow
+def test_bench_pp_harness(capsys):
+    """The PP scaling harness (scripts/bench_pp.py) runs both its
+    baseline and staged modes on the CPU mesh and prints valid JSON."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_pp",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "bench_pp.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for stages in (1, 2):
+        mod.main([
+            "--stages", str(stages), "--size", "28", "--frames", "4",
+            "--iters", "2", "--warmup", "1",
+        ])
+        row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert row["stages"] == stages and row["frames_per_s"] > 0
+
+
+@pytest.mark.slow
 def test_pp_pipeline_e2e_matches_serial(model):
     """Full video pipeline (preprocess → PP windows → stitch) equals the
     serial pipeline."""
