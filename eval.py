@@ -79,6 +79,16 @@ def main(argv=None) -> int:
                         "(sliding-window mode; see run.py)")
     args = p.parse_args(argv)
 
+    if args.pipeline_parallel > 1 and (
+        args.streaming or args.kv_cache or args.data_parallel
+        or args.model_parallel > 1
+    ):
+        raise SystemExit(
+            "--pipeline_parallel applies to the sliding-window mode only "
+            "and is exclusive with --streaming/--kv_cache/--data_parallel/"
+            "--model_parallel"
+        )
+
     import jax
     import jax.numpy as jnp
 

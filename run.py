@@ -224,6 +224,20 @@ def main(argv=None) -> int:
 
     normalize_args(args)
 
+    if args.pipeline_parallel > 1:
+        # PP covers the sliding-window mode only; reject (rather than
+        # silently drop) every combination that would not stage anything
+        if args.data_parallel or args.model_parallel > 1:
+            raise SystemExit(
+                "--pipeline_parallel is exclusive with "
+                "--data_parallel/--model_parallel"
+            )
+        if args.process_single_image or multihost:
+            raise SystemExit(
+                "--pipeline_parallel applies to the sliding-window mode "
+                "only (not --process_single_image/--kv_cache/--coordinator)"
+            )
+
     if multihost:
         from video_depth_anything_tpu.io.video import (
             count_video_frames,
@@ -311,11 +325,6 @@ def main(argv=None) -> int:
             window_batch=args.window_batch, host_upsample=args.host_upsample,
         )
         if args.pipeline_parallel > 1:
-            if args.data_parallel or args.model_parallel > 1:
-                raise SystemExit(
-                    "--pipeline_parallel is exclusive with "
-                    "--data_parallel/--model_parallel"
-                )
             from video_depth_anything_tpu.parallel.pipeline_parallel import (
                 PipelineParallelVideoDepthPipeline,
             )

@@ -65,8 +65,7 @@ def run(encoder: str, size: int, frames: int, stages: int,
     force(fwd(x))
     compile_s = time.time() - t0
     for _ in range(warmup):
-        d = fwd(x)
-    force(d)
+        force(fwd(x))
     t0 = time.time()
     for _ in range(iters):
         d = fwd(x)

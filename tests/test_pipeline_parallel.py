@@ -2,8 +2,9 @@
 
 The GPipe-style staged encoder (``parallel.pipeline_parallel``) must produce
 the same depth as the single-device forward: the block chain is pure
-composition, microbatches carry no cross-frame state, and the tap psum
-merges disjoint writes — so fp32 parity is tight, not tolerance-waved.
+composition, microbatches carry no cross-frame state, and the tap
+all_gather moves each stage's owned taps verbatim — so fp32 parity is
+tight, not tolerance-waved.
 """
 
 import dataclasses as dc

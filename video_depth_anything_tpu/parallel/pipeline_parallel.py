@@ -21,9 +21,10 @@ activations hop stages via ``jax.lax.ppermute`` (neighbor ICI transfers,
 never DCN); a ``lax.scan`` drives the ``M+S−1`` pipeline ticks.  The four
 intermediate-layer taps the DPT head consumes can land mid-stage (vitl taps
 block 4 inside stage 0 at S=4), so every stage scatters its owned taps into
-a compact ``(ceil(taps/S), M, …)`` local buffer and one ``all_gather``
-merges them (tap → stage ownership is static, so the gather moves each tap
-exactly once instead of psum-ing zero padding).  Communication: each stage
+a compact ``(max taps per stage, M, …)`` local buffer and one ``all_gather``
+merges them (tap → stage ownership is static; with the shipped configs'
+balanced placements the gather moves each tap exactly once instead of
+psum-ing zero padding).  Communication: each stage
 hop moves one activation tensor per microbatch over neighbor ICI; the tap
 gather moves the 4-tap set once at the end (see docs/PERFORMANCE.md
 "Pipeline parallelism").
@@ -107,7 +108,7 @@ class PipelineParallelWindowRunner:
     def _shard_params(self, params) -> None:
         """(Re)shard ``params`` over the stage mesh: blocks stacked and
         ``model``-sharded, everything else replicated."""
-        self._params_ref = params
+        self._params_ref = (params, params["pretrained"], params["head"])
         stacked = stack_block_params(
             params["pretrained"], self.cfg.vit.depth, self.S
         )
@@ -125,12 +126,17 @@ class PipelineParallelWindowRunner:
         )
 
     def refresh_params(self) -> None:
-        """Re-stack if ``model.params`` was replaced since construction
-        (checkpoint load into an already-built pipeline) — the base window
-        pipeline re-reads ``model.params`` every call; this is the staged
-        equivalent."""
-        if self.model.params is not self._params_ref:
-            self._shard_params(self.model.params)
+        """Re-stack if ``model.params`` (or its pretrained/head subtree)
+        was replaced since construction (checkpoint load into an
+        already-built pipeline) — the base window pipeline re-reads
+        ``model.params`` every call; this is the staged equivalent.
+        Identity-based: rebinding the dict or either subtree is detected;
+        mutating individual leaves in place is not (flax params are
+        conventionally treated as immutable pytrees)."""
+        p = self.model.params
+        cur = (p, p["pretrained"], p["head"])
+        if any(a is not b for a, b in zip(cur, self._params_ref)):
+            self._shard_params(p)
 
     # -- pipelined encoder (inside shard_map over 'model') ------------------
 
@@ -141,9 +147,13 @@ class PipelineParallelWindowRunner:
         tap_idx = self.tap_idx
         # tap → (owning stage, local slot) is STATIC: stages scatter into a
         # compact (max-taps-per-stage) local buffer, one all_gather moves
-        # only owned taps, and the host-side select below reassembles the
-        # tap order — ≥2× fewer comm bytes than psum-ing a full zero-padded
-        # (taps, …) buffer (each stage owns ≤ ceil(taps/S) taps).
+        # S·max_tps slot buffers, and the select below reassembles the tap
+        # order.  max_tps comes from the ACTUAL placement: balanced
+        # placements (all shipped configs — vits/vitb taps fall one per
+        # 3-block stage, vitl one per 6-block stage) gather each tap
+        # exactly once, ~2× fewer bytes than psum-ing a zero-padded full
+        # (taps, …) buffer; a maximally skewed placement degrades toward
+        # psum cost but never exceeds it by more than the ring traversal.
         stage_of = [t // Ls for t in tap_idx]
         slot_of = []
         counts = [0] * S
@@ -219,7 +229,19 @@ class PipelineParallelWindowRunner:
             return m
         target = 2 * self.S
         divisors = [m for m in range(1, bt + 1) if bt % m == 0]
-        return min(divisors, key=lambda m: (abs(m - target), -m))
+        m = min(divisors, key=lambda q: (abs(q - target), -q))
+        if m < self.S:
+            import warnings
+
+            warnings.warn(
+                f"pipeline parallelism over {self.S} stages with only {m} "
+                f"microbatch(es) for B*T={bt}: bubble fraction "
+                f"{(self.S - 1) / (m + self.S - 1):.0%} — pick a frame "
+                f"count divisible into >= {self.S} microbatches for real "
+                f"pipelining",
+                stacklevel=3,
+            )
+        return m
 
     @functools.cached_property
     def _jit_forward(self):
