@@ -49,6 +49,7 @@ def test_pp_window_matches_single_device_small(model):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pp_odd_stage_count_autopicks_microbatches(model):
     """S=3 (depth 12 divisible) with B*T=4: no divisor of 4 equals 2S=6 —
     the auto-pick must still find a runnable M (here 4) instead of
@@ -79,6 +80,7 @@ def test_pp_mid_stage_and_double_taps():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pp_explicit_microbatches(model):
     x = np.random.RandomState(2).randn(2, 4, 28, 28, 3).astype(np.float32)
     ref = np.asarray(model.infer_window(x))
@@ -102,6 +104,7 @@ def test_pp_validation_errors(model):
         PipelineParallelWindowRunner(model, num_stages=1)
 
 
+@pytest.mark.slow
 def test_pp_tracks_params_replacement():
     """Replacing ``model.params`` after the runner is built (checkpoint
     load into a live pipeline) must be picked up — the base pipeline
